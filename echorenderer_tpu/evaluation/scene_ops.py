@@ -1,0 +1,307 @@
+"""Device-side scene queries: trace, occlude, interact, light sampling.
+
+Rebuild of the reference's PreparedScene query surface
+(Aggregation/Preparation/PreparedScene.cs): Trace/Occlude dispatch to the
+accelerator, Interact builds the shading contact, Pick/Sample/
+ProbabilityMass/ProbabilityDensity implement light selection and NEE, and
+EvaluateInfinite folds the infinite lights. All functions are batched over
+a leading lane axis.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..aggregation.bvh import intersect_bvh, occlude_bvh
+from ..ops.intersect import INF, Hit, intersect_linear, occlude_linear
+from ..scene.prepare import (
+    LIGHT_AMBIENT,
+    LIGHT_DIRECTIONAL,
+    LIGHT_EMISSIVE_TRI,
+    LIGHT_POINT,
+    PreparedScene,
+)
+from ..utils import rng as rng_mod
+from ..utils import vec
+from .bsdf import GatheredMaterial
+
+# scenes below this primitive count use the brute-force linear accelerator
+# (reference AcceleratorCreator.cs:31 picks Linear < 32)
+LINEAR_THRESHOLD = 32
+
+
+def trace(scene: PreparedScene, o, d, t_max, ignore) -> Hit:
+    if scene.geometry.num_primitives < LINEAR_THRESHOLD:
+        return intersect_linear(scene.geometry, o, d, t_max, ignore)
+    return intersect_bvh(scene.geometry, scene.bvh, o, d, t_max, ignore)
+
+
+def occlude(scene: PreparedScene, o, d, t_max, ignore) -> jax.Array:
+    if scene.geometry.num_primitives < LINEAR_THRESHOLD:
+        return occlude_linear(scene.geometry, o, d, t_max, ignore)
+    return occlude_bvh(scene.geometry, scene.bvh, o, d, t_max, ignore)
+
+
+class Contact(NamedTuple):
+    """Shading contact (reference Aggregation/Primitives/Contact.cs)."""
+
+    point: jax.Array  # (N, 3)
+    geo_normal: jax.Array  # (N, 3) geometric normal
+    shade_normal: jax.Array  # (N, 3) interpolated shading normal
+    uv: jax.Array  # (N, 2) texture coordinates
+    material: GatheredMaterial
+    mat_id: jax.Array  # (N,) int32
+
+
+def interact(scene: PreparedScene, hit: Hit, o, d) -> Contact:
+    """Build the shading contact for each lane's hit (masked by hit.found;
+    lanes without hits get clamped garbage that callers must mask)."""
+    g = scene.geometry
+    num_tri = g.num_triangles
+    prim = jnp.maximum(hit.prim, 0)
+    is_tri = prim < num_tri
+    ti = jnp.clip(prim, 0, max(num_tri - 1, 0))
+    si = jnp.clip(prim - num_tri, 0, max(g.num_spheres - 1, 0))
+
+    point = o + d * hit.t[..., None]
+
+    # triangle shading data
+    u, v = hit.uv[..., 0], hit.uv[..., 1]
+    w = 1.0 - u - v
+    tri_geo = vec.normalize(jnp.cross(g.tri_e1[ti], g.tri_e2[ti]))
+    tri_shade = vec.normalize(
+        w[..., None] * g.tri_n0[ti] + u[..., None] * g.tri_n1[ti] + v[..., None] * g.tri_n2[ti]
+    )
+    tri_uv = (
+        w[..., None] * g.tri_uv0[ti] + u[..., None] * g.tri_uv1[ti] + v[..., None] * g.tri_uv2[ti]
+    )
+    tri_mat = g.tri_mat[ti]
+
+    if g.num_spheres:
+        sph_geo = vec.normalize(point - g.sph_center[si])
+        sph_mat = g.sph_mat[si]
+        geo_n = jnp.where(is_tri[..., None], tri_geo, sph_geo)
+        shade_n = jnp.where(is_tri[..., None], tri_shade, sph_geo)
+        mat_id = jnp.where(is_tri, tri_mat, sph_mat)
+        uv_out = jnp.where(is_tri[..., None], tri_uv, hit.uv)
+    else:
+        geo_n, shade_n, mat_id, uv_out = tri_geo, tri_shade, tri_mat, tri_uv
+
+    m = scene.materials
+    material = GatheredMaterial(
+        type=m.type[mat_id],
+        albedo=m.albedo[mat_id],
+        params=m.params[mat_id],
+        extra=m.extra[mat_id],
+    )
+    return Contact(
+        point=point,
+        geo_normal=geo_n,
+        shade_normal=shade_n,
+        uv=uv_out,
+        material=material,
+        mat_id=mat_id,
+    )
+
+
+def emission_at(scene: PreparedScene, contact: Contact, wo) -> jax.Array:
+    """Emitted radiance toward wo (reference Emissive.Emit: one-sided by
+    the geometric normal)."""
+    from ..scene.materials import EMISSIVE
+
+    facing = vec.dot(contact.geo_normal, wo) > 0.0
+    is_emissive = contact.material.type == EMISSIVE
+    return jnp.where(
+        (facing & is_emissive)[..., None], contact.material.albedo, 0.0
+    )
+
+
+def eval_infinite(scene: PreparedScene, d, directly_visible_only: bool) -> jax.Array:
+    """Total infinite-light radiance along direction d
+    (reference PreparedScene.EvaluateInfinite)."""
+    lt = scene.lights
+    base = lt.ambient_camera if directly_visible_only else lt.ambient_all
+    out = jnp.broadcast_to(base, d.shape)
+    if len(scene.env_maps):
+        local = d @ lt.env_rotation.T
+        out = out + scene.env_maps[0].evaluate(local)
+    return out
+
+
+def env_pdf(scene: PreparedScene, d) -> jax.Array:
+    """Solid-angle pdf of ambient-light direction sampling."""
+    if len(scene.env_maps):
+        local = d @ scene.lights.env_rotation.T
+        return scene.env_maps[0].pdf(local)
+    return jnp.full(d.shape[:-1], 1.0 / (4.0 * jnp.pi))
+
+
+class LightSample(NamedTuple):
+    radiant: jax.Array  # (N, 3) emitted radiance toward the surface
+    incident: jax.Array  # (N, 3) direction surface -> light
+    travel: jax.Array  # (N,) distance to the light (INF for infinite)
+    pdf: jax.Array  # (N,) solid-angle pdf (1 for delta lights)
+    target_prim: jax.Array  # (N,) prim to ignore in the shadow ray (-1)
+    use_mis: jax.Array  # (N,) bool — non-delta light, MIS applies
+
+
+def pick_light(scene: PreparedScene, u) -> tuple[jax.Array, jax.Array]:
+    """Power-proportional light selection (flat LightPicker analogue).
+    Returns (record index, pmf)."""
+    lt = scene.lights
+    idx = jnp.searchsorted(lt.cdf, u, side="right").astype(jnp.int32)
+    idx = jnp.clip(idx, 0, lt.num_lights - 1)
+    total = jnp.sum(lt.power)
+    pmf = lt.power[idx] / jnp.maximum(total, 1e-20)
+    return idx, pmf
+
+
+def light_pmf(scene: PreparedScene, record) -> jax.Array:
+    lt = scene.lights
+    total = jnp.sum(lt.power)
+    ok = record >= 0
+    p = lt.power[jnp.maximum(record, 0)] / jnp.maximum(total, 1e-20)
+    return jnp.where(ok, p, 0.0)
+
+
+def sample_light(scene: PreparedScene, record, x, u2) -> LightSample:
+    """Sample a direction/radiance from the selected light record toward
+    surface points x (reference PreparedScene.Sample). Branchless over kinds."""
+    lt = scene.lights
+    g = scene.geometry
+    n = x.shape[0]
+    record = jnp.maximum(record, 0)
+    kind = lt.kind[record]
+    index = lt.index[record]
+
+    # --- point light ---
+    if lt.point_pos.shape[0]:
+        pi = jnp.clip(index, 0, lt.point_pos.shape[0] - 1)
+        delta_p = lt.point_pos[pi] - x
+        dist2_p = jnp.maximum(vec.length_squared(delta_p), 1e-12)
+        dist_p = jnp.sqrt(dist2_p)
+        wi_p = delta_p / dist_p[..., None]
+        rad_p = lt.point_intensity[pi] / dist2_p[..., None]
+    else:
+        wi_p = jnp.zeros_like(x)
+        dist_p = jnp.zeros(n)
+        rad_p = jnp.zeros_like(x)
+
+    # --- directional light ---
+    if lt.dir_dir.shape[0]:
+        di = jnp.clip(index, 0, lt.dir_dir.shape[0] - 1)
+        wi_d = -lt.dir_dir[di]
+        rad_d = jnp.broadcast_to(lt.dir_intensity[di], x.shape)
+    else:
+        wi_d = jnp.zeros_like(x)
+        rad_d = jnp.zeros_like(x)
+
+    # --- ambient (uniform or env-importance sampled) ---
+    if len(scene.env_maps):
+        local_dir, amb_pdf = scene.env_maps[0].sample(u2)
+        wi_a = local_dir @ lt.env_rotation  # env-local -> world
+        rad_a = lt.ambient_all + scene.env_maps[0].evaluate(local_dir)
+    else:
+        wi_a = rng_mod.uniform_sphere(u2)
+        amb_pdf = jnp.full(n, 1.0 / (4.0 * jnp.pi))
+        rad_a = jnp.broadcast_to(lt.ambient_all, x.shape)
+
+    # --- emissive triangle/sphere ---
+    if lt.emissive_prim.shape[0]:
+        ei = jnp.clip(index, 0, lt.emissive_prim.shape[0] - 1)
+        prim = lt.emissive_prim[ei]
+        num_tri = g.num_triangles
+        is_tri = prim < num_tri
+        ti = jnp.clip(prim, 0, max(num_tri - 1, 0))
+        bary = rng_mod.uniform_triangle(u2)
+        p_tri = (
+            g.tri_v0[ti]
+            + bary[..., 0:1] * g.tri_e1[ti]
+            + bary[..., 1:2] * g.tri_e2[ti]
+        )
+        cross_t = jnp.cross(g.tri_e1[ti], g.tri_e2[ti])
+        area_tri = 0.5 * vec.length(cross_t)
+        n_tri = cross_t / jnp.maximum(2.0 * area_tri[..., None], 1e-20)
+
+        if g.num_spheres:
+            si = jnp.clip(prim - num_tri, 0, g.num_spheres - 1)
+            sp_dir = rng_mod.uniform_sphere(u2)
+            p_sph = g.sph_center[si] + sp_dir * g.sph_radius[si][..., None]
+            n_sph = sp_dir
+            area_sph = 4.0 * jnp.pi * g.sph_radius[si] ** 2
+            p_l = jnp.where(is_tri[..., None], p_tri, p_sph)
+            n_l = jnp.where(is_tri[..., None], n_tri, n_sph)
+            area = jnp.where(is_tri, area_tri, area_sph)
+        else:
+            p_l, n_l, area = p_tri, n_tri, area_tri
+
+        delta_e = p_l - x
+        dist2_e = jnp.maximum(vec.length_squared(delta_e), 1e-12)
+        dist_e = jnp.sqrt(dist2_e)
+        wi_e = delta_e / dist_e[..., None]
+        cos_l = vec.dot(n_l, -wi_e)
+        mat_tri = g.tri_mat[ti]
+        if g.num_spheres:
+            mat_sph = g.sph_mat[jnp.clip(prim - num_tri, 0, g.num_spheres - 1)]
+            emat = jnp.where(is_tri, mat_tri, mat_sph)
+        else:
+            emat = mat_tri
+        emitted = scene.materials.albedo[emat]
+        rad_e = jnp.where((cos_l > 0.0)[..., None], emitted, 0.0)
+        pdf_e = dist2_e / jnp.maximum(jnp.abs(cos_l) * area, 1e-12)
+        target_e = prim
+    else:
+        wi_e = jnp.zeros_like(x)
+        dist_e = jnp.zeros(n)
+        rad_e = jnp.zeros_like(x)
+        pdf_e = jnp.ones(n)
+        target_e = jnp.full(n, -1, jnp.int32)
+
+    def sel(point_v, dir_v, amb_v, emi_v):
+        out = jnp.where(_exp(kind == LIGHT_POINT, point_v), point_v, 0.0)
+        out = jnp.where(_exp(kind == LIGHT_DIRECTIONAL, dir_v), dir_v, out)
+        out = jnp.where(_exp(kind == LIGHT_AMBIENT, amb_v), amb_v, out)
+        out = jnp.where(_exp(kind == LIGHT_EMISSIVE_TRI, emi_v), emi_v, out)
+        return out
+
+    radiant = sel(rad_p, rad_d, rad_a, rad_e)
+    incident = sel(wi_p, wi_d, wi_a, wi_e)
+    travel = sel(dist_p, jnp.full(n, INF), jnp.full(n, INF), dist_e)
+    pdf = sel(jnp.ones(n), jnp.ones(n), amb_pdf, pdf_e)
+    target = jnp.where(kind == LIGHT_EMISSIVE_TRI, target_e, -1)
+    use_mis = (kind == LIGHT_AMBIENT) | (kind == LIGHT_EMISSIVE_TRI)
+    return LightSample(
+        radiant=radiant,
+        incident=incident,
+        travel=travel,
+        pdf=pdf,
+        target_prim=target,
+        use_mis=use_mis,
+    )
+
+
+def area_light_pdf(scene: PreparedScene, prim, origin, point, geo_normal, direction):
+    """Solid-angle pdf of NEE having sampled `direction` toward the emissive
+    `prim` hit at `point` (reference PreparedScene.ProbabilityDensity)."""
+    g = scene.geometry
+    num_tri = g.num_triangles
+    prim_c = jnp.maximum(prim, 0)
+    is_tri = prim_c < num_tri
+    ti = jnp.clip(prim_c, 0, max(num_tri - 1, 0))
+    area_tri = 0.5 * vec.length(jnp.cross(g.tri_e1[ti], g.tri_e2[ti]))
+    if g.num_spheres:
+        si = jnp.clip(prim_c - num_tri, 0, g.num_spheres - 1)
+        area = jnp.where(is_tri, area_tri, 4.0 * jnp.pi * g.sph_radius[si] ** 2)
+    else:
+        area = area_tri
+    delta = point - origin
+    dist2 = jnp.maximum(vec.length_squared(delta), 1e-12)
+    cos_l = jnp.abs(vec.dot(geo_normal, direction))
+    return dist2 / jnp.maximum(cos_l * area, 1e-12)
+
+
+def _exp(mask, like):
+    return mask[..., None] if like.ndim > mask.ndim else mask

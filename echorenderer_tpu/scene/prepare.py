@@ -1,0 +1,353 @@
+"""Scene preparation: mutable scene graph -> immutable device arrays.
+
+Rebuild of the reference preparation pipeline (Scenic/Preparation/ScenePreparer.cs,
+Aggregation/Preparation/PreparedPack.cs, PreparedScene.cs, LightCollection.cs):
+  - walk the hierarchy computing world transforms (PackInstances are baked
+    for now; two-level TLAS instancing is planned in aggregation/instancing)
+  - extract flat SoA triangles/spheres (the PreparedTriangle v0/e1/e2 layout)
+  - intern materials into a parameter table (SwatchExtractor analogue)
+  - light census: explicit lights + emissive geometry, power-weighted
+    selection CDF (flat version of the reference's LightPicker; the
+    Estevez-Kulla light tree lands in aggregation/light_tree.py)
+  - SAH BVH build over all primitives
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..aggregation.bvh import FlatBVH, build_bvh, geometry_bounds
+from ..ops.intersect import FlatGeometry
+from . import materials as mat_mod
+from .cameras import Camera, PerspectiveCamera
+from .entities import Entity, PackInstance, Scene
+from .geometries import GeometryEntity
+from .lights import AmbientLight, DirectionalLight, LightEntity, PointLight
+
+_LUM = np.asarray([0.212671, 0.715160, 0.072169], np.float32)
+
+# light record kinds in the selection table
+LIGHT_POINT = 0
+LIGHT_DIRECTIONAL = 1
+LIGHT_AMBIENT = 2
+LIGHT_EMISSIVE_TRI = 3
+
+
+class PackedCamera(NamedTuple):
+    kind: int  # static (pytree aux)
+    position: jax.Array  # (3,)
+    rotation: jax.Array  # (3, 3) local->world
+    forward_length: jax.Array  # ()
+    lens_radius: jax.Array
+    focal_distance: jax.Array
+
+
+jax.tree_util.register_pytree_node(
+    PackedCamera,
+    lambda c: ((c.position, c.rotation, c.forward_length, c.lens_radius, c.focal_distance), c.kind),
+    lambda kind, xs: PackedCamera(kind, *xs),
+)
+
+
+class MaterialTable(NamedTuple):
+    """Interned material parameter blocks (device). The fixed-size-block
+    answer to the reference's arena-allocated polymorphic BSDFs
+    (Common/Memory/Allocator.cs + Evaluation/Scattering/BSDF.cs)."""
+
+    type: jax.Array  # (M,) int32 material type id
+    albedo: jax.Array  # (M, 3) linear RGB
+    params: jax.Array  # (M, 4) [roughness, p1, p2, p3]
+    extra: jax.Array  # (M, 3) e.g. conductor edge color
+    one_sided: jax.Array  # (M,) int32 flag
+    albedo_tex: jax.Array  # (M,) int32 texture id or -1
+
+
+class LightTable(NamedTuple):
+    """Flat light records + power CDF for selection, plus per-kind data."""
+
+    kind: jax.Array  # (L,) int32
+    index: jax.Array  # (L,) int32 into the per-kind arrays
+    power: jax.Array  # (L,)
+    cdf: jax.Array  # (L,) inclusive prefix of power / total
+    point_pos: jax.Array  # (Lp, 3)
+    point_intensity: jax.Array  # (Lp, 3)
+    dir_dir: jax.Array  # (Ld, 3) direction the light travels (from light)
+    dir_intensity: jax.Array  # (Ld, 3)
+    emissive_prim: jax.Array  # (Le,) int32 original prim ids
+    emissive_light: jax.Array  # (Le,) int32 back-map to light record index
+    prim_light: jax.Array  # (P,) int32 prim -> light record or -1
+    ambient_all: jax.Array  # (3,) constant env radiance (indirect rays)
+    ambient_camera: jax.Array  # (3,) env radiance visible to camera rays
+    env_rotation: jax.Array  # (3, 3) world->env-local rotation
+    env_index: jax.Array  # () int32: directional texture id or -1
+
+    @property
+    def num_lights(self) -> int:
+        return self.kind.shape[0]
+
+
+class PreparedScene(NamedTuple):
+    """Immutable render-ready world (reference PreparedScene.cs)."""
+
+    geometry: FlatGeometry
+    bvh: FlatBVH
+    materials: MaterialTable
+    lights: LightTable
+    camera: PackedCamera
+    env_maps: tuple  # tuple of prepared directional textures (pytree'd)
+
+
+def _iter_world(entity: Entity, parent, swatch):
+    world = parent @ entity.transform.matrix()
+    yield entity, world, swatch
+    if isinstance(entity, PackInstance):
+        merged = {**swatch, **{id(k): v for k, v in entity.material_swatch.items()}}
+        for child in entity.pack.children:
+            yield from _iter_world(child, world, merged)
+    for child in entity.children:
+        yield from _iter_world(child, world, swatch)
+
+
+def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene:
+    tri_v, tri_f, tri_n, tri_uv, tri_m = [], [], [], [], []
+    sph_c, sph_r, sph_m = [], [], []
+    materials: list = []
+    mat_index: dict[int, int] = {}
+    cameras: list[tuple[Camera, np.ndarray]] = []
+    point_lights, dir_lights, ambient_lights = [], [], []
+
+    def intern(mat) -> int:
+        one_sided = 0
+        if isinstance(mat, mat_mod.OneSided):
+            one_sided, mat = 1, mat.base
+        key = (id(mat), one_sided)
+        if key not in mat_index:
+            mat_index[key] = len(materials)
+            materials.append((mat, one_sided))
+        return mat_index[key]
+
+    for entity, world, swatch in _iter_world(scene, np.eye(4), {}):
+        if isinstance(entity, GeometryEntity):
+            mat = swatch.get(id(entity.material), entity.material)
+            mid = intern(mat)
+            tris = entity.extract_triangles(world)
+            if tris is not None and len(tris["faces"]):
+                base = sum(len(v) for v in tri_v)
+                tri_v.append(np.asarray(tris["vertices"], np.float32))
+                tri_f.append(np.asarray(tris["faces"], np.int32) + base)
+                n = tris.get("normals")
+                u = tris.get("uvs")
+                tri_n.append(None if n is None else np.asarray(n, np.float32))
+                tri_uv.append(None if u is None else np.asarray(u, np.float32))
+                tri_m.append(np.full(len(tris["faces"]), mid, np.int32))
+            sph = entity.extract_sphere(world)
+            if sph is not None:
+                sph_c.append(np.asarray(sph[0], np.float32))
+                sph_r.append(np.float32(sph[1]))
+                sph_m.append(np.int32(mid))
+        elif isinstance(entity, Camera):
+            cameras.append((entity, world))
+        elif isinstance(entity, PointLight):
+            point_lights.append((world[:3, 3].astype(np.float32), entity.intensity, entity.power))
+        elif isinstance(entity, DirectionalLight):
+            d = world[:3, :3] @ np.asarray([0.0, 0.0, 1.0])
+            d = (d / np.linalg.norm(d)).astype(np.float32)
+            dir_lights.append((d, entity.intensity, entity))
+        elif isinstance(entity, AmbientLight):
+            rot = world[:3, :3] / max(np.linalg.norm(world[:3, 0]), 1e-20)
+            ambient_lights.append((entity, rot.astype(np.float32)))
+
+    # --- assemble flat geometry ---
+    if tri_v:
+        verts = np.concatenate(tri_v, 0)
+        faces = np.concatenate(tri_f, 0)
+        # per-vertex normals/uvs with per-chunk fallbacks
+        norms = []
+        uvs = []
+        for v, n, u in zip(tri_v, tri_n, tri_uv):
+            norms.append(np.zeros((len(v), 3), np.float32) if n is None else n)
+            uvs.append(np.zeros((len(v), 2), np.float32) if u is None else u)
+        vn = np.concatenate(norms, 0)
+        vuv = np.concatenate(uvs, 0)
+        v0 = verts[faces[:, 0]]
+        v1 = verts[faces[:, 1]]
+        v2 = verts[faces[:, 2]]
+        e1, e2 = v1 - v0, v2 - v0
+        gn = np.cross(e1, e2)
+        gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+        n0, n1, n2 = vn[faces[:, 0]], vn[faces[:, 1]], vn[faces[:, 2]]
+        # faces without shading normals fall back to the geometric normal
+        for arr in (n0, n1, n2):
+            missing = np.linalg.norm(arr, axis=-1) < 1e-6
+            arr[missing] = gn[missing]
+        uv0, uv1, uv2 = vuv[faces[:, 0]], vuv[faces[:, 1]], vuv[faces[:, 2]]
+        tmat = np.concatenate(tri_m, 0)
+    else:
+        # degenerate far-away invisible triangle keeps shapes non-empty
+        mid = intern(mat_mod.Invisible())
+        v0 = np.asarray([[1e7, 1e7, 1e7]], np.float32)
+        e1 = np.asarray([[1e-3, 0, 0]], np.float32)
+        e2 = np.asarray([[0, 1e-3, 0]], np.float32)
+        n0 = n1 = n2 = np.asarray([[0, 0, 1]], np.float32)
+        uv0 = uv1 = uv2 = np.zeros((1, 2), np.float32)
+        tmat = np.asarray([mid], np.int32)
+
+    geom_np = dict(
+        tri_v0=v0, tri_e1=e1, tri_e2=e2,
+        tri_n0=n0, tri_n1=n1, tri_n2=n2,
+        tri_uv0=uv0, tri_uv1=uv1, tri_uv2=uv2,
+        tri_mat=tmat,
+        sph_center=np.stack(sph_c, 0) if sph_c else np.zeros((0, 3), np.float32),
+        sph_radius=np.asarray(sph_r, np.float32) if sph_r else np.zeros(0, np.float32),
+        sph_mat=np.asarray(sph_m, np.int32) if sph_m else np.zeros(0, np.int32),
+    )
+    num_tris = geom_np["tri_v0"].shape[0]
+    num_prims = num_tris + geom_np["sph_center"].shape[0]
+
+    # --- material table ---
+    mtypes = np.asarray([m.type_id for m, _ in materials], np.int32)
+    malbedo = np.stack([m.constant_albedo() for m, _ in materials], 0)
+    mparams = np.stack([m.params() for m, _ in materials], 0)
+    mextra = np.stack([m.extra_color() for m, _ in materials], 0)
+    mone = np.asarray([os for _, os in materials], np.int32)
+    mtex = np.full(len(materials), -1, np.int32)
+
+    # --- light census ---
+    kinds, indices, powers = [], [], []
+    for i, (pos, inten, power) in enumerate(point_lights):
+        kinds.append(LIGHT_POINT)
+        indices.append(i)
+        powers.append(max(power, 1e-6))
+    for i, (d, inten, ent) in enumerate(dir_lights):
+        kinds.append(LIGHT_DIRECTIONAL)
+        indices.append(i)
+        powers.append(max(float(np.pi * _LUM @ inten), 1e-6))
+
+    ambient_all = np.zeros(3, np.float32)
+    ambient_camera = np.zeros(3, np.float32)
+    env_rotation = np.eye(3, dtype=np.float32)
+    env_maps: list = []
+    env_index = -1
+    env_mean_lum = 0.0
+    for ent, rot in ambient_lights:
+        if ent.texture is not None:
+            if env_index >= 0:
+                raise ValueError("only one textured AmbientLight supported per scene")
+            env_index = len(env_maps)
+            prepared = ent.texture.prepare()
+            env_maps.append(prepared)
+            env_rotation = rot.T  # world -> env local
+            env_mean_lum += float(prepared.mean_luminance()) * float(_LUM @ ent.intensity) * 3.0
+        else:
+            ambient_all += ent.intensity
+            if ent.directly_visible:
+                ambient_camera += ent.intensity
+    has_env = env_index >= 0 or float(ambient_all.sum()) > 0.0
+    if has_env:
+        kinds.append(LIGHT_AMBIENT)
+        indices.append(0)
+        amb_power = float(4.0 * np.pi * (_LUM @ ambient_all)) + 4.0 * np.pi * env_mean_lum
+        powers.append(max(amb_power, 1e-6))
+
+    # emissive geometry census (LightCollection.cs:23 analogue)
+    emissive_prims = []
+    tri_area = 0.5 * np.linalg.norm(np.cross(geom_np["tri_e1"], geom_np["tri_e2"]), axis=-1)
+    for p in range(num_tris):
+        m, _ = materials[geom_np["tri_mat"][p]]
+        if isinstance(m, mat_mod.Emissive) and m.power > 0.0:
+            emissive_prims.append((p, float(m.power * tri_area[p] * np.pi)))
+    for s in range(geom_np["sph_center"].shape[0]):
+        m, _ = materials[geom_np["sph_mat"][s]]
+        if isinstance(m, mat_mod.Emissive) and m.power > 0.0:
+            area = 4.0 * np.pi * float(geom_np["sph_radius"][s]) ** 2
+            emissive_prims.append((num_tris + s, float(m.power * area * np.pi)))
+
+    emissive_light = []
+    for p, power in emissive_prims:
+        emissive_light.append(len(kinds))
+        kinds.append(LIGHT_EMISSIVE_TRI)
+        indices.append(len(emissive_light) - 1)
+        powers.append(max(power, 1e-6))
+
+    if not kinds:  # degenerate: inject a black ambient (PreparedScene.cs:291)
+        kinds, indices, powers = [LIGHT_AMBIENT], [0], [1e-6]
+
+    powers = np.asarray(powers, np.float64)
+    cdf = np.cumsum(powers / powers.sum()).astype(np.float32)
+    cdf[-1] = 1.0
+
+    prim_light = np.full(num_prims, -1, np.int32)
+    for (p, _), lrec in zip(emissive_prims, emissive_light):
+        prim_light[p] = lrec
+
+    lights = LightTable(
+        kind=jnp.asarray(kinds, jnp.int32),
+        index=jnp.asarray(indices, jnp.int32),
+        power=jnp.asarray(powers, jnp.float32),
+        cdf=jnp.asarray(cdf),
+        point_pos=jnp.asarray(
+            np.stack([p for p, _, _ in point_lights], 0) if point_lights else np.zeros((0, 3), np.float32)
+        ),
+        point_intensity=jnp.asarray(
+            np.stack([i for _, i, _ in point_lights], 0) if point_lights else np.zeros((0, 3), np.float32)
+        ),
+        dir_dir=jnp.asarray(
+            np.stack([d for d, _, _ in dir_lights], 0) if dir_lights else np.zeros((0, 3), np.float32)
+        ),
+        dir_intensity=jnp.asarray(
+            np.stack([i for _, i, _ in dir_lights], 0) if dir_lights else np.zeros((0, 3), np.float32)
+        ),
+        emissive_prim=jnp.asarray(
+            np.asarray([p for p, _ in emissive_prims], np.int32) if emissive_prims else np.zeros(0, np.int32)
+        ),
+        emissive_light=jnp.asarray(np.asarray(emissive_light, np.int32) if emissive_light else np.zeros(0, np.int32)),
+        prim_light=jnp.asarray(prim_light),
+        ambient_all=jnp.asarray(ambient_all),
+        ambient_camera=jnp.asarray(ambient_camera),
+        env_rotation=jnp.asarray(env_rotation),
+        env_index=jnp.asarray(env_index, jnp.int32),
+    )
+
+    # --- camera ---
+    cam_entity, cam_world = None, np.eye(4)
+    for c, w in cameras:
+        if camera_name is None or c.name == camera_name:
+            cam_entity, cam_world = c, w
+            break
+    if cam_entity is None:
+        cam_entity = PerspectiveCamera()
+    packed = cam_entity.pack(cam_world)
+    camera = PackedCamera(
+        kind=int(packed["kind"]),
+        position=jnp.asarray(packed["position"]),
+        rotation=jnp.asarray(packed["rotation"]),
+        forward_length=jnp.asarray(packed["forward_length"]),
+        lens_radius=jnp.asarray(packed["lens_radius"]),
+        focal_distance=jnp.asarray(packed["focal_distance"]),
+    )
+
+    # --- BVH ---
+    bmin, bmax = geometry_bounds(geom_np)
+    bvh = build_bvh(bmin, bmax)
+
+    geometry = FlatGeometry(**{k: jnp.asarray(v) for k, v in geom_np.items()})
+    mats = MaterialTable(
+        type=jnp.asarray(mtypes),
+        albedo=jnp.asarray(malbedo),
+        params=jnp.asarray(mparams),
+        extra=jnp.asarray(mextra),
+        one_sided=jnp.asarray(mone),
+        albedo_tex=jnp.asarray(mtex),
+    )
+    return PreparedScene(
+        geometry=geometry,
+        bvh=bvh,
+        materials=mats,
+        lights=lights,
+        camera=camera,
+        env_maps=tuple(env_maps),
+    )
