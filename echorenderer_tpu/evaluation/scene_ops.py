@@ -45,6 +45,27 @@ def occlude(scene: PreparedScene, o, d, t_max, ignore) -> jax.Array:
     return occlude_bvh(scene.geometry, scene.bvh, o, d, t_max, ignore)
 
 
+def _sample_atlas(atlas, tid, uv):
+    """Bilinear repeat-wrapped sample of the (T, R, R, 4) albedo atlas.
+    Returns linear RGB (N, 3)."""
+    r = atlas.shape[1]
+    u = (uv[..., 0] % 1.0) * r - 0.5
+    v = (uv[..., 1] % 1.0) * r - 0.5
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
+    u0w, u1w = u0 % r, (u0 + 1) % r
+    v0w, v1w = v0 % r, (v0 + 1) % r
+    t00 = atlas[tid, v0w, u0w]
+    t01 = atlas[tid, v0w, u1w]
+    t10 = atlas[tid, v1w, u0w]
+    t11 = atlas[tid, v1w, u1w]
+    top = t00 * (1 - fu) + t01 * fu
+    bot = t10 * (1 - fu) + t11 * fu
+    return (top * (1 - fv) + bot * fv)[..., :3]
+
+
 class Contact(NamedTuple):
     """Shading contact (reference Aggregation/Primitives/Contact.cs)."""
 
@@ -91,9 +112,14 @@ def interact(scene: PreparedScene, hit: Hit, o, d) -> Contact:
         geo_n, shade_n, mat_id, uv_out = tri_geo, tri_shade, tri_mat, tri_uv
 
     m = scene.materials
+    albedo = m.albedo[mat_id]
+    if scene.tex_atlas.shape[0]:  # textured albedos: one bilinear atlas gather
+        tid = m.albedo_tex[mat_id]
+        tex_rgb = _sample_atlas(scene.tex_atlas, jnp.maximum(tid, 0), uv_out)
+        albedo = jnp.where((tid >= 0)[..., None], tex_rgb, albedo)
     material = GatheredMaterial(
         type=m.type[mat_id],
-        albedo=m.albedo[mat_id],
+        albedo=albedo,
         params=m.params[mat_id],
         extra=m.extra[mat_id],
     )

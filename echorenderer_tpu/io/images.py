@@ -60,7 +60,7 @@ def save_png(path, image: np.ndarray, *, flip_y: bool = True, srgb: bool = True)
     Path(path).write_bytes(png)
 
 
-def load_png(path) -> np.ndarray:
+def load_png(path, *, srgb: bool = True) -> np.ndarray:
     """Minimal PNG loader (8-bit, color types 0/2/6, no interlace).
     Returns linear float32 (H, W, C) with row 0 at the bottom."""
     blob = Path(path).read_bytes()
@@ -118,7 +118,8 @@ def load_png(path) -> np.ndarray:
         out[y] = rec.astype(np.uint8)
         prev = out[y]
     img = out.reshape(h, w, channels).astype(np.float32) / 255.0
-    img = np.where(img <= 0.04045, img / 12.92, ((img + 0.055) / 1.055) ** 2.4)
+    if srgb:
+        img = np.where(img <= 0.04045, img / 12.92, ((img + 0.055) / 1.055) ** 2.4)
     return img[::-1].astype(np.float32)
 
 
@@ -188,8 +189,95 @@ def load_fpi(path) -> np.ndarray:
     return np.stack(channels, axis=-1)
 
 
+def save_hdr(path, image: np.ndarray, *, flip_y: bool = True):
+    """Radiance RGBE `.hdr` writer (flat, no RLE). image: (H, W, >=3) linear."""
+    rgb = np.asarray(image, np.float32)[..., :3]
+    if flip_y:
+        rgb = rgb[::-1]
+    h, w = rgb.shape[:2]
+    maxc = rgb.max(axis=-1)
+    exp = np.zeros(maxc.shape, np.int32)
+    nz = maxc > 1e-32
+    exp[nz] = np.frexp(maxc[nz])[1]
+    scale = np.where(nz, np.ldexp(256.0, -exp) , 0.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(rgb * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(nz, exp + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())
+
+
+def load_hdr(path, *, flip_y: bool = True) -> np.ndarray:
+    """Radiance RGBE `.hdr` reader (flat + adaptive RLE scanlines)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    pos = data.index(b"\n\n") + 2 if b"\n\n" in data else 0
+    nl = data.index(b"\n", pos)
+    dims = data[pos:nl].decode().split()
+    h, w = int(dims[1]), int(dims[3])
+    payload = data[nl + 1:]
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    p = 0
+    for y in range(h):
+        if (
+            p + 4 <= len(payload)
+            and payload[p] == 2 and payload[p + 1] == 2
+            and (payload[p + 2] << 8 | payload[p + 3]) == w
+        ):  # adaptive RLE scanline
+            p += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    count = payload[p]; p += 1
+                    if count > 128:  # run
+                        rgbe[y, x:x + count - 128, c] = payload[p]; p += 1
+                        x += count - 128
+                    else:  # literal
+                        rgbe[y, x:x + count, c] = np.frombuffer(
+                            payload, np.uint8, count, p
+                        )
+                        p += count
+                        x += count
+        else:  # flat scanline
+            row = np.frombuffer(payload, np.uint8, w * 4, p).reshape(w, 4)
+            rgbe[y] = row
+            p += w * 4
+    exp = rgbe[..., 3].astype(np.int32) - 136  # 128 bias + 8 mantissa bits
+    # +0.5 centers the truncated mantissa bucket (standard RGBE decode)
+    rgb = (rgbe[..., :3].astype(np.float32) + 0.5) * np.ldexp(1.0, exp)[..., None]
+    rgb[rgbe[..., 3] == 0] = 0.0
+    return rgb[::-1] if flip_y else rgb
+
+
+def save_pfm(path, image: np.ndarray):
+    """Portable FloatMap writer (color PF, little-endian)."""
+    rgb = np.asarray(image, np.float32)[..., :3]
+    h, w = rgb.shape[:2]
+    with open(path, "wb") as f:
+        f.write(f"PF\n{w} {h}\n-1.0\n".encode())
+        f.write(rgb.astype("<f4").tobytes())
+
+
+def load_pfm(path) -> np.ndarray:
+    with open(path, "rb") as f:
+        header = f.readline().strip()
+        w, h = map(int, f.readline().split())
+        scale = float(f.readline())
+        count = w * h * (3 if header == b"PF" else 1)
+        data = np.frombuffer(f.read(), "<f4" if scale < 0 else ">f4", count)
+    shape = (h, w, 3) if header == b"PF" else (h, w)
+    return data.reshape(shape).astype(np.float32)
+
+
+_PIL_EXTS = {".jpg", ".jpeg", ".tif", ".tiff", ".bmp", ".webp", ".gif"}
+
+
 def save(path, image: np.ndarray, **kw):
-    """Extension-dispatch save (reference Serializer.Find, Serializer.cs:33)."""
+    """Extension-dispatch save (reference Serializer.Find, Serializer.cs:33).
+    PNG/FPI/NPY/HDR/PFM are native; JPEG/TIFF/&c go through PIL (the host
+    codec role ImageMagick plays for the reference, SURVEY.md §2b)."""
     ext = Path(path).suffix.lower()
     if ext == ".png":
         save_png(path, image, **kw)
@@ -197,6 +285,15 @@ def save(path, image: np.ndarray, **kw):
         save_fpi(path, image)
     elif ext == ".npy":
         np.save(path, np.asarray(image, np.float32))
+    elif ext == ".hdr":
+        save_hdr(path, image, **kw)
+    elif ext == ".pfm":
+        save_pfm(path, image)
+    elif ext in _PIL_EXTS:
+        from PIL import Image
+
+        u8 = _to_srgb_u8(np.asarray(image)[::-1][..., :3] if kw.get("flip_y", True) else np.asarray(image)[..., :3])
+        Image.fromarray(u8).save(path)
     else:
         raise ValueError(f"unsupported image extension {ext!r}")
 
@@ -209,4 +306,16 @@ def load(path) -> np.ndarray:
         return load_fpi(path)
     if ext == ".npy":
         return np.load(path)
+    if ext == ".hdr":
+        return load_hdr(path)
+    if ext == ".pfm":
+        return load_pfm(path)
+    if ext in _PIL_EXTS:
+        from PIL import Image
+
+        arr = np.asarray(Image.open(path), np.float32) / 255.0
+        return arr[::-1]
     raise ValueError(f"unsupported image extension {ext!r}")
+
+
+load_image = load  # alias used by textures.ImportGrid

@@ -1,0 +1,13 @@
+from .sharding import (
+    make_mesh,
+    render_epoch_sharded,
+    render_frame_sharded,
+    shard_pixels,
+)
+
+__all__ = [
+    "make_mesh",
+    "render_epoch_sharded",
+    "render_frame_sharded",
+    "shard_pixels",
+]

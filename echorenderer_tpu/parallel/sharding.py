@@ -1,0 +1,162 @@
+"""SPMD multi-chip rendering over a `jax.sharding.Mesh`.
+
+The reference is a single-process shared-memory system: one worker pool
+pulls tile procedures off a FIFO queue (Common/Compute/Device.cs,
+Operation.cs — SURVEY.md §2c). The TPU-native replacement is SPMD data
+parallelism: pixels are sharded across chips over ICI, the prepared scene
+(BVH + triangles + materials + light records) is replicated — it is
+read-only during evaluation, the same property the reference exploits with
+its immutable `PreparedScene` — and scalar statistics are `psum`-reduced.
+
+Determinism: every random draw is a pure hash of
+(seed, absolute pixel_id, sample_id, dimension) (utils/rng.py), so the
+rendered image is bit-identical for any device count — the analogue of the
+reference's guarantee that tile scheduling does not affect the image
+(Evaluation/Sampling/ContinuousDistribution.cs per-pixel streams). This is
+validated by the chip-count-invariance tests (tests/test_sharding.py).
+
+Axis layout:
+  mesh ("px",): pixel shards, the only communicated axis. Accumulator
+  state lives sharded; only O(1) scalars (noise metric, statistics
+  counters) cross chips via psum. Multi-host scaling shards the same axis
+  over DCN; no parameter traffic exists.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..scene.cameras import spawn_rays
+from ..scene.prepare import PreparedScene
+from ..utils.rng import SampleStream
+
+AXIS = "px"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """A 1D device mesh over the pixel data-parallel axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def shard_pixels(n_pixels: int, n_shards: int) -> int:
+    """Padded per-shard pixel count (pixels are padded to a multiple of the
+    shard count; padded lanes render pixel 0 and are discarded)."""
+    return -(-n_pixels // n_shards)
+
+
+def _sample_pixels(scene, pixel_id, px, py, seed, sample_start, count, resolution,
+                   evaluator="path", bounce_limit=16, survivability=2.5):
+    """Accumulate `count` samples for the given pixel lanes. Pure SPMD body:
+    identical math on every shard, no cross-chip communication."""
+    from ..processes.render import AOV_CHANNELS, EVALUATORS
+
+    fn = EVALUATORS[evaluator]
+    channels = AOV_CHANNELS[evaluator]
+    n = pixel_id.shape[0]
+    pixel_xy = jnp.stack([px, py], axis=-1)
+
+    def one_sample(i, carry):
+        s_sum, s_sq = carry
+        stream = SampleStream(
+            pixel_id=pixel_id,
+            sample_id=(sample_start + i).astype(jnp.uint32),
+            seed=jnp.asarray(seed, jnp.uint32),
+        )
+        shift = stream.next_2d(0)
+        lens = stream.next_2d(1)
+        o, d = spawn_rays(scene.camera, pixel_xy, shift, lens, resolution)
+        if evaluator == "path":
+            value = fn(scene, stream, o, d, bounce_limit=bounce_limit, survivability=survivability)
+        elif evaluator == "naive":
+            value = fn(scene, stream, o, d, bounce_limit=bounce_limit)
+        else:
+            value = fn(scene, stream, o, d)
+        if evaluator in ("path", "naive"):
+            value = jnp.nan_to_num(value, nan=0.0, posinf=0.0, neginf=0.0)
+        return s_sum + value, s_sq + value * value
+
+    init = (jnp.zeros((n, channels)), jnp.zeros((n, channels)))
+    return jax.lax.fori_loop(0, count, one_sample, init)
+
+
+def render_epoch_sharded(
+    mesh: Mesh,
+    scene: PreparedScene,
+    resolution,
+    seed: int,
+    sample_start: int,
+    count: int,
+    *,
+    evaluator: str = "path",
+    bounce_limit: int = 16,
+    survivability: float = 2.5,
+):
+    """One sampling epoch distributed over the mesh.
+
+    Returns (sum, sum_sq) of shape (H*W, C) (gathered/addressable as a
+    global sharded array) plus a psum'd scalar sample counter. Compile once
+    per (resolution, count) pair; subsequent epochs reuse the executable.
+    """
+    width, height = resolution
+    n = width * height
+    n_shards = mesh.devices.size
+    per = shard_pixels(n, n_shards)
+    padded = per * n_shards
+
+    pixel_id = jnp.arange(padded, dtype=jnp.uint32)
+    pixel_id = jnp.where(pixel_id < n, pixel_id, 0)
+    px = (pixel_id % width).astype(jnp.int32)
+    py = (pixel_id // width).astype(jnp.int32)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P()),
+        # constants (BVH stacks, best-hit inits) inside lax.while_loop
+        # carries start unvarying and become varying; skip the vma check
+        check_vma=False,
+    )
+    def run(scene_rep, pid, pxs, pys):
+        s_sum, s_sq = _sample_pixels(
+            scene_rep, pid, pxs, pys, seed, jnp.asarray(sample_start, jnp.uint32),
+            count, resolution, evaluator=evaluator, bounce_limit=bounce_limit,
+            survivability=survivability,
+        )
+        n_samples = jax.lax.psum(
+            jnp.asarray(pid.shape[0] * count, jnp.float32), AXIS
+        )
+        return s_sum, s_sq, n_samples[None]
+
+    s_sum, s_sq, n_samples = jax.jit(run)(scene, pixel_id, px, py)
+    return s_sum[:n], s_sq[:n], n_samples
+
+
+def render_frame_sharded(
+    mesh: Mesh,
+    scene: PreparedScene,
+    resolution,
+    *,
+    spp: int = 16,
+    seed: int = 0,
+    evaluator: str = "path",
+    bounce_limit: int = 16,
+    survivability: float = 2.5,
+) -> np.ndarray:
+    """Render a full frame at fixed spp over the mesh; returns (H, W, C)."""
+    width, height = resolution
+    s_sum, _, _ = render_epoch_sharded(
+        mesh, scene, resolution, seed, 0, spp,
+        evaluator=evaluator, bounce_limit=bounce_limit, survivability=survivability,
+    )
+    img = np.asarray(s_sum) / float(spp)
+    return img.reshape(height, width, -1)

@@ -99,6 +99,36 @@ class PreparedScene(NamedTuple):
     lights: LightTable
     camera: PackedCamera
     env_maps: tuple  # tuple of prepared directional textures (pytree'd)
+    tex_atlas: jax.Array  # (T, R, R, 4) resampled albedo textures
+
+
+# resolution each albedo texture is resampled to in the device atlas; a
+# single fixed size keeps the shading gather one fused lookup (the
+# reference's per-texture ImportGrid sizes have no TPU-friendly analogue)
+ATLAS_RES = 256
+
+
+def _resample_texture(tex, res: int = ATLAS_RES) -> np.ndarray:
+    """Host bilinear resample of a Texture's data() to (res, res, 4)."""
+    src = np.asarray(tex.data(), np.float32)
+    if src.ndim == 2:
+        src = src[..., None]
+    if src.shape[-1] == 1:
+        src = np.repeat(src, 3, -1)
+    if src.shape[-1] == 3:
+        src = np.concatenate([src, np.ones_like(src[..., :1])], -1)
+    h, w = src.shape[:2]
+    v = (np.arange(res, dtype=np.float32) + 0.5) / res * h - 0.5
+    u = (np.arange(res, dtype=np.float32) + 0.5) / res * w - 0.5
+    v0 = np.clip(np.floor(v).astype(np.int64), 0, h - 1)
+    u0 = np.clip(np.floor(u).astype(np.int64), 0, w - 1)
+    v1 = np.minimum(v0 + 1, h - 1)
+    u1 = np.minimum(u0 + 1, w - 1)
+    fv = np.clip(v - v0, 0.0, 1.0)[:, None, None]
+    fu = np.clip(u - u0, 0.0, 1.0)[None, :, None]
+    top = src[v0][:, u0] * (1 - fu) + src[v0][:, u1] * fu
+    bot = src[v1][:, u0] * (1 - fu) + src[v1][:, u1] * fu
+    return top * (1 - fv) + bot * fv
 
 
 def _iter_world(entity: Entity, parent, swatch):
@@ -214,7 +244,25 @@ def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene
     mparams = np.stack([m.params() for m, _ in materials], 0)
     mextra = np.stack([m.extra_color() for m, _ in materials], 0)
     mone = np.asarray([os for _, os in materials], np.int32)
+
+    # albedo texture atlas: dedupe textures, resample each to ATLAS_RES
     mtex = np.full(len(materials), -1, np.int32)
+    atlas_slices: list[np.ndarray] = []
+    tex_ids: dict[int, int] = {}
+    for mi, (m, _) in enumerate(materials):
+        tex = m.albedo_texture() if hasattr(m, "albedo_texture") else None
+        if tex is None:
+            continue
+        key = id(tex)
+        if key not in tex_ids:
+            tex_ids[key] = len(atlas_slices)
+            atlas_slices.append(_resample_texture(tex))
+        mtex[mi] = tex_ids[key]
+    tex_atlas = (
+        np.stack(atlas_slices, 0)
+        if atlas_slices
+        else np.zeros((0, 1, 1, 4), np.float32)
+    )
 
     # --- light census ---
     kinds, indices, powers = [], [], []
@@ -350,4 +398,5 @@ def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene
         lights=lights,
         camera=camera,
         env_maps=tuple(env_maps),
+        tex_atlas=jnp.asarray(tex_atlas),
     )
