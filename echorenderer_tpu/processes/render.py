@@ -61,6 +61,51 @@ class RenderProfile:
     seed: int = 0
 
 
+def standard_path_traced_profile(
+    quality: float = 1.0,
+    resolution: tuple = (960, 540),
+    *,
+    denoise: bool = True,
+    watermark: bool = True,
+) -> RenderProfile:
+    """One-knob preset mirroring the reference StandardPathTracedProfile
+    (StandardPathTracedProfile.cs:17-105): albedo + path + normal_depth
+    evaluations, then denoise + postprocess composition. `quality` scales
+    sample counts and adaptive epoch budget."""
+    from .composition import (
+        AutoExposure,
+        BilateralDenoise,
+        Bloom,
+        ToneMapper,
+        Vignette,
+        Watermark,
+    )
+
+    spe = max(4, int(16 * quality))
+    max_epoch = max(2, int(20 * quality))
+    evaluations = (
+        EvaluationProfile(evaluator="albedo", layer_name="albedo"),
+        EvaluationProfile(
+            evaluator="path",
+            layer_name="main",
+            samples_per_epoch=spe,
+            min_epoch=1,
+            max_epoch=max_epoch,
+            noise_threshold=0.045 / max(quality, 0.25),
+        ),
+        EvaluationProfile(evaluator="normal_depth", layer_name="normal_depth"),
+    )
+    stack = []
+    if denoise:
+        stack.append(BilateralDenoise())
+    stack += [AutoExposure(), Bloom(), ToneMapper(curve="aces"), Vignette()]
+    if watermark:
+        stack.append(Watermark())
+    return RenderProfile(
+        resolution=tuple(resolution), evaluations=evaluations, composition=tuple(stack)
+    )
+
+
 def _sample_frame(scene: PreparedScene, evaluator: str, resolution, seed, sample_start, count, bounce_limit, survivability):
     """Device program: accumulate `count` samples for every pixel.
     Returns (sum, sum_sq) of shape (H*W, C)."""
@@ -152,13 +197,21 @@ def render_layer(
 
 
 def render(scene: PreparedScene, profile: RenderProfile, progress=None):
-    """Render all layers of a profile. Returns dict layer_name -> image,
-    plus an info dict under the key '__info__'."""
+    """Render all layers of a profile, then run the composition stack.
+    Returns dict layer_name -> image, plus an info dict under '__info__'
+    (reference ScheduledRender: evaluations then CompositionOperation)."""
     layers = {}
     infos = {}
     for ep in profile.evaluations:
         img, info = render_layer(scene, ep, profile.resolution, profile.seed, progress)
         layers[ep.layer_name] = img
         infos[ep.layer_name] = info
+    if profile.composition:
+        from .composition import compose
+
+        composed, errors = compose(layers, profile.composition)
+        layers = {k: np.asarray(v) for k, v in composed.items()}
+        if errors:
+            infos["composition_errors"] = errors
     layers["__info__"] = infos
     return layers
