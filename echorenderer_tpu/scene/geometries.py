@@ -63,6 +63,8 @@ class MeshEntity(GeometryEntity):
 
     def __init__(self, vertices=None, faces=None, normals=None, uvs=None, source=None, **kw):
         super().__init__(**kw)
+        self.face_materials = None
+        self.materials = None
         if source is not None:  # a loaded model (io/models.py)
             vertices, faces, normals, uvs = (
                 source.vertices,
@@ -70,18 +72,25 @@ class MeshEntity(GeometryEntity):
                 source.normals,
                 source.uvs,
             )
+            if getattr(source, "face_materials", None) is not None and source.materials:
+                self.face_materials = np.asarray(source.face_materials, np.int32)
+                self.materials = list(source.materials)
         self.vertices = np.asarray(vertices, np.float64)
         self.faces = np.asarray(faces, np.int32)
         self.normals = None if normals is None else np.asarray(normals, np.float64)
         self.uvs = None if uvs is None else np.asarray(uvs, np.float64)
 
     def extract_triangles(self, world):
-        return dict(
+        out = dict(
             vertices=_apply(world, self.vertices),
             faces=self.faces,
             normals=None if self.normals is None else _apply_normals(world, self.normals),
             uvs=self.uvs,
         )
+        if self.face_materials is not None:
+            out["face_materials"] = self.face_materials
+            out["materials"] = self.materials
+        return out
 
 
 class SphereEntity(GeometryEntity):

@@ -173,7 +173,17 @@ def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene
                 u = tris.get("uvs")
                 tri_n.append(None if n is None else np.asarray(n, np.float32))
                 tri_uv.append(None if u is None else np.asarray(u, np.float32))
-                tri_m.append(np.full(len(tris["faces"]), mid, np.int32))
+                if tris.get("face_materials") is not None:
+                    # per-face materials (multi-material OBJ): intern each,
+                    # -1 entries fall back to the entity material
+                    fm = np.asarray(tris["face_materials"], np.int32)
+                    sub = [
+                        intern(swatch.get(id(m), m)) for m in tris["materials"]
+                    ]
+                    table = np.asarray(sub + [mid], np.int32)
+                    tri_m.append(table[np.where(fm >= 0, fm, len(sub))])
+                else:
+                    tri_m.append(np.full(len(tris["faces"]), mid, np.int32))
             sph = entity.extract_sphere(world)
             if sph is not None:
                 sph_c.append(np.asarray(sph[0], np.float32))
