@@ -28,20 +28,41 @@ from ..utils import rng as rng_mod
 from ..utils import vec
 from .bsdf import GatheredMaterial
 
-# scenes below this primitive count use the brute-force linear accelerator
-# (reference AcceleratorCreator.cs:31 picks Linear < 32)
+# accelerator choice (the TPU analogue of AcceleratorCreator.cs:31 picking
+# Linear < 32 <= BVH < 512 <= QBVH by geometry count):
+#   < LINEAR_THRESHOLD          plain XLA dense broadcast (cheapest compile)
+#   <= VMEM_PRIM_LIMIT on TPU   Pallas tiled dense kernel (VMEM-resident)
+#   otherwise                   lockstep BVH walk (gather-bound fallback)
 LINEAR_THRESHOLD = 32
+
+
+def _use_pallas(scene) -> bool:
+    from ..ops.pallas_intersect import VMEM_PRIM_LIMIT
+
+    return (
+        jax.default_backend() == "tpu"
+        and scene.prim_soa is not None
+        and scene.prim_soa.padded <= VMEM_PRIM_LIMIT
+    )
 
 
 def trace(scene: PreparedScene, o, d, t_max, ignore) -> Hit:
     if scene.geometry.num_primitives < LINEAR_THRESHOLD:
         return intersect_linear(scene.geometry, o, d, t_max, ignore)
+    if _use_pallas(scene):
+        from ..ops.pallas_intersect import intersect_pallas
+
+        return intersect_pallas(scene.geometry, scene.prim_soa, o, d, t_max, ignore)
     return intersect_bvh(scene.geometry, scene.bvh, o, d, t_max, ignore)
 
 
 def occlude(scene: PreparedScene, o, d, t_max, ignore) -> jax.Array:
     if scene.geometry.num_primitives < LINEAR_THRESHOLD:
         return occlude_linear(scene.geometry, o, d, t_max, ignore)
+    if _use_pallas(scene):
+        from ..ops.pallas_intersect import occlude_pallas
+
+        return occlude_pallas(scene.geometry, scene.prim_soa, o, d, t_max, ignore)
     return occlude_bvh(scene.geometry, scene.bvh, o, d, t_max, ignore)
 
 

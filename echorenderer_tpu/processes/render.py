@@ -59,6 +59,7 @@ class RenderProfile:
     composition: tuple = ()
     camera_name: str | None = None
     seed: int = 0
+    scene: object = None  # optional Scene (set by the .echo DSL / CLI)
 
 
 def standard_path_traced_profile(
@@ -181,7 +182,13 @@ def render_layer(
 
         noise = float(jnp.max(acc_mod.max_noise(acc)))
         if progress:
-            progress(epoch + 1, profile.max_epoch, noise)
+            try:
+                progress(
+                    epoch + 1, profile.max_epoch, noise,
+                    layer=profile.layer_name, samples=total_samples,
+                )
+            except TypeError:  # simple (epoch, max, noise) callbacks
+                progress(epoch + 1, profile.max_epoch, noise)
         if epoch + 1 >= profile.min_epoch and noise < profile.noise_threshold:
             break
 

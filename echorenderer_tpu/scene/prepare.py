@@ -22,6 +22,7 @@ import numpy as np
 
 from ..aggregation.bvh import FlatBVH, build_bvh, geometry_bounds
 from ..ops.intersect import FlatGeometry
+from ..ops.pallas_intersect import build_prim_soa
 from . import materials as mat_mod
 from .cameras import Camera, PerspectiveCamera
 from .entities import Entity, PackInstance, Scene
@@ -100,6 +101,7 @@ class PreparedScene(NamedTuple):
     camera: PackedCamera
     env_maps: tuple  # tuple of prepared directional textures (pytree'd)
     tex_atlas: jax.Array  # (T, R, R, 4) resampled albedo textures
+    prim_soa: object  # PrimSoA kernel layout (ops/pallas_intersect.py)
 
 
 # resolution each albedo texture is resampled to in the device atlas; a
@@ -409,4 +411,5 @@ def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene
         camera=camera,
         env_maps=tuple(env_maps),
         tex_atlas=jnp.asarray(tex_atlas),
+        prim_soa=build_prim_soa(geometry),
     )

@@ -1,0 +1,168 @@
+"""Headless CLI render driver — the Echo.Terminal analogue.
+
+Mirrors the reference CLI surface (Echo.Terminal/Program.cs:112-175):
+
+    python -m echorenderer_tpu.terminal -p scene.echo [-o layer=file ...]
+        [-q quality] [-r WxH] [--seed N] [--scene builtin] [--profile-name x]
+
+Flow (Program.cs:45-87 analogue): parse .echo -> construct RenderProfile ->
+prepare scene -> render with console monitor (progress %, ETA, SPPS) ->
+save layers (default render.png). `-u/--utilization` is accepted for
+parity but ignored: XLA owns the chip (there is no worker count to set).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _parse_outputs(pairs):
+    outs = []
+    for p in pairs or []:
+        if "=" in p:
+            layer, path = p.split("=", 1)
+        else:
+            layer, path = "main", p
+        outs.append((layer, path))
+    return outs or [("main", "render.png")]
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="echorenderer-tpu",
+        description="TPU-native path tracer (Echo.Terminal-compatible CLI)",
+    )
+    ap.add_argument("-p", "--profile", help=".echo file with a RenderProfile")
+    ap.add_argument("--profile-name", help="declaration name inside the .echo file")
+    ap.add_argument("--scene", help="built-in scene: cornell_box, material_ball, many_lights, sphere_field")
+    ap.add_argument("-o", "--output", action="append", help="layer=file (repeatable; default main=render.png)")
+    ap.add_argument("-q", "--quality", type=float, default=None, help="quality knob for the standard profile")
+    ap.add_argument("-r", "--resolution", default=None, help="WxH, e.g. 1920x1080")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--camera", default=None, help="camera name to render from")
+    ap.add_argument("-u", "--utilization", type=float, default=None, help="accepted for reference parity; ignored (XLA owns the chip)")
+    ap.add_argument("--no-compose", action="store_true", help="skip the composition stack")
+    return ap
+
+
+def load_profile(args):
+    """Resolve (scene, profile) from CLI arguments."""
+    from .processes.render import RenderProfile, standard_path_traced_profile
+
+    if args.profile:
+        from .io.echo_dsl import EchoSource
+
+        src = EchoSource(args.profile)
+        if args.profile_name:
+            prof = src.construct(args.profile_name)
+        else:
+            prof = src.construct_first(RenderProfile)
+        if prof.scene is None:
+            from .scene.entities import Scene
+
+            prof.scene = src.construct_first(Scene)
+    else:
+        from .models import scenes as builtin
+
+        name = args.scene or "cornell_box"
+        maker = getattr(builtin, name, None)
+        if maker is None:
+            raise SystemExit(f"unknown built-in scene {name!r}")
+        prof = standard_path_traced_profile(
+            quality=args.quality if args.quality is not None else 1.0
+        )
+        prof.scene = maker()
+
+    if args.resolution:
+        w, h = args.resolution.lower().split("x")
+        prof.resolution = (int(w), int(h))
+    if args.camera:
+        prof.camera_name = args.camera
+    if args.seed:
+        prof.seed = args.seed
+    if args.no_compose:
+        prof.composition = ()
+    return prof
+
+
+class ConsoleMonitor:
+    """Progress line with percent, elapsed, ETA and SPPS — the analogue of
+    ScheduledRender.Monitor (Processes/ScheduledRender.cs:189-242)."""
+
+    def __init__(self, stream=sys.stderr):
+        self.stream = stream
+        self.start = time.perf_counter()
+        self.samples = 0
+
+    def __call__(self, epoch, max_epoch, noise, layer="main", samples=0):
+        elapsed = time.perf_counter() - self.start
+        self.samples = samples or self.samples
+        frac = epoch / max(max_epoch, 1)
+        eta = elapsed / max(frac, 1e-6) - elapsed
+        spps = self.samples / max(elapsed, 1e-9)
+        self.stream.write(
+            f"\r[{layer}] epoch {epoch}/{max_epoch} ({frac * 100:5.1f}%)  "
+            f"noise {noise:.4f}  elapsed {elapsed:6.1f}s  eta {max(eta, 0):6.1f}s  "
+            f"{spps / 1e6:6.2f} Mspps   "
+        )
+        self.stream.flush()
+
+    def finish(self):
+        self.stream.write("\n")
+        self.stream.flush()
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from .io import images
+    from .processes.render import render
+    from .scene.prepare import prepare_scene
+
+    prof = load_profile(args)
+    if prof.scene is None:
+        raise SystemExit("no scene: pass -p file.echo or --scene builtin")
+
+    t0 = time.perf_counter()
+    print("preparing scene...", file=sys.stderr)
+    prepared = prepare_scene(prof.scene, prof.camera_name)
+    print(
+        f"prepared {prepared.geometry.num_triangles} tris, "
+        f"{prepared.geometry.num_spheres} spheres, "
+        f"{int(prepared.lights.num_lights)} lights in {time.perf_counter() - t0:.2f}s",
+        file=sys.stderr,
+    )
+
+    monitor = ConsoleMonitor()
+    out = render(prepared, prof, progress=monitor)
+    monitor.finish()
+
+    infos = out.get("__info__", {})
+    for layer, info in infos.items():
+        if isinstance(info, dict) and "samples" in info:
+            print(
+                f"[{layer}] {info['samples']:,} samples in {info['seconds']:.2f}s "
+                f"({info['samples_per_second'] / 1e6:.2f} Mspps)",
+                file=sys.stderr,
+            )
+    if "composition_errors" in infos:
+        for op, msg in infos["composition_errors"].items():
+            print(f"composition {op}: {msg}", file=sys.stderr)
+
+    for layer, path in _parse_outputs(args.output):
+        if layer not in out:
+            print(f"no layer {layer!r}; have {sorted(k for k in out if k != '__info__')}", file=sys.stderr)
+            continue
+        images.save(path, out[layer])
+        print(f"saved {layer} -> {path}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

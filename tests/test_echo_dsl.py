@@ -1,0 +1,152 @@
+"""Echo description language tests (reference InOut/EchoDescription:
+grammar, lexical scoping, links, literal coercion, profile construction)."""
+
+import numpy as np
+import pytest
+
+from echorenderer_tpu.io.echo_dsl import EchoSource, coerce_literal, tokenize
+
+DOC = """
+# a small but representative scene
+:scene = new Scene
+{
+    :gray = new Pure("hdr(0.75 0.75 0.75)")
+    :matte = new Diffuse { .Albedo = link gray .Roughness = "0.3" }
+
+    .Add(new PlaneEntity { .Material = link matte .Size = "32 24" })
+    .Add(new SphereEntity
+    {
+        .Material = new Dielectric { .Albedo = link gray .RefractiveIndex = "1.5" }
+        .Radius = "1" .Position = "-3 1 -2"
+    })
+    .Add(new PointLight { .Intensity = "hdr(10 10 10)" .Position = "0 6 -7" })
+    .Add(new AmbientLight { .Intensity = "hdr(0.1 0.1 0.12)" })
+    .Add(new PerspectiveCamera { .Name = "main" .FieldOfView = "110" .Position = "0 3 -6" .Rotation = "30 0 0" })
+}
+
+:raw = new RenderProfile
+{
+    .Scene = link scene
+    .Resolution = "64 48"
+    .EvaluationProfiles =
+    [
+        new EvaluationProfile { .Evaluator = new PathTracedEvaluator .LayerName = "main" .NoiseThreshold = "0.02" }
+        new EvaluationProfile { .Evaluator = new AlbedoEvaluator .LayerName = "albedo" }
+    ]
+    .CompositionLayers = [ new ToneMapper { .Curve = "aces" } ]
+}
+"""
+
+
+class TestTokenizer:
+    def test_comments_stripped(self):
+        toks = tokenize("# hello\n:a = new Scene # trailing\n")
+        kinds = [k for k, _, _ in toks]
+        assert kinds == ["decl", "punct", "word", "word"]
+
+    def test_strings_and_members(self):
+        toks = tokenize('.Albedo = "hdr(1 2 3)"')
+        assert toks[0] == ("member", ".Albedo", 1)
+        assert toks[2][0] == "string"
+
+
+class TestLiterals:
+    def test_bool_number_vector(self):
+        assert coerce_literal("True") is True
+        assert coerce_literal("1.5") == 1.5
+        np.testing.assert_allclose(coerce_literal("0 6 -7"), [0, 6, -7])
+
+    def test_colors(self):
+        c = coerce_literal("hdr(1 2 3)")
+        np.testing.assert_allclose(c[:3], [1, 2, 3])
+        c2 = coerce_literal("rgb(255 0 0)")
+        np.testing.assert_allclose(c2[:3], [1, 0, 0], atol=1e-5)
+
+    def test_path_passthrough(self):
+        assert coerce_literal("bunny.obj") == "bunny.obj"
+
+
+class TestConstruction:
+    def test_scene_graph(self):
+        from echorenderer_tpu.scene import PointLight, Scene, SphereEntity
+        from echorenderer_tpu.scene.materials import Dielectric, Diffuse
+
+        src = EchoSource(DOC)
+        scene = src.construct("scene")
+        assert isinstance(scene, Scene)
+        kinds = [type(c).__name__ for c in scene.children]
+        assert kinds == [
+            "PlaneEntity", "SphereEntity", "PointLight", "AmbientLight", "PerspectiveCamera",
+        ]
+        sphere = scene.children[1]
+        assert isinstance(sphere.material, Dielectric)
+        assert sphere.material.refractive_index == 1.5
+        np.testing.assert_allclose(sphere.position, [-3, 1, -2])
+        plane = scene.children[0]
+        assert isinstance(plane.material, Diffuse)
+        assert plane.material.roughness == pytest.approx(0.3)
+        np.testing.assert_allclose(plane.material.constant_albedo(), [0.75] * 3)
+
+    def test_links_alias_same_object(self):
+        src = EchoSource(DOC)
+        scene = src.construct("scene")
+        prof = src.construct("raw")
+        assert prof.scene is scene  # same constructed instance
+
+    def test_render_profile(self):
+        from echorenderer_tpu.processes.composition import ToneMapper
+
+        src = EchoSource(DOC)
+        prof = src.construct("raw")
+        assert prof.resolution == (64, 48)
+        assert len(prof.evaluations) == 2
+        assert prof.evaluations[0].evaluator == "path"
+        assert prof.evaluations[0].noise_threshold == pytest.approx(0.02)
+        assert prof.evaluations[1].evaluator == "albedo"
+        assert isinstance(prof.composition[0], ToneMapper)
+
+    def test_construct_first_by_type(self):
+        from echorenderer_tpu.processes.render import RenderProfile
+
+        src = EchoSource(DOC)
+        prof = src.construct_first(RenderProfile)
+        assert isinstance(prof, RenderProfile)
+
+    def test_lexical_scope_inner_overrides(self):
+        doc = """
+        :c = new Pure("hdr(1 0 0)")
+        :outer = new Scene
+        {
+            :c = new Pure("hdr(0 1 0)")
+            .Add(new PlaneEntity { .Material = new Diffuse { .Albedo = link c } })
+        }
+        """
+        src = EchoSource(doc)
+        scene = src.construct("outer")
+        np.testing.assert_allclose(
+            scene.children[0].material.constant_albedo(), [0, 1, 0]
+        )
+
+    def test_unknown_type_raises(self):
+        with pytest.raises(KeyError):
+            EchoSource(":x = new NotAThing").construct("x")
+
+    def test_syntax_error_reports_line(self):
+        with pytest.raises(SyntaxError):
+            EchoSource(":x = = new Scene")
+
+
+class TestEndToEnd:
+    def test_parse_prepare_render_tiny(self):
+        """Full path: .echo text -> scene -> prepared -> 1 albedo frame."""
+        from echorenderer_tpu.processes.render import render
+        from echorenderer_tpu.scene.prepare import prepare_scene
+
+        src = EchoSource(DOC)
+        prof = src.construct("raw")
+        prof.resolution = (16, 12)
+        prof.evaluations = (prof.evaluations[1],)  # albedo only: cheap
+        prepared = prepare_scene(prof.scene, prof.camera_name)
+        out = render(prepared, prof)
+        assert out["albedo"].shape == (12, 16, 3)
+        assert np.isfinite(out["albedo"]).all()
