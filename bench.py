@@ -25,7 +25,7 @@ def main():
 
     scene = prepare_scene(scenes.sphere_field(80))
     resolution = (960, 540)
-    spp = 32
+    spp = 8  # per device program; several programs per timed rep
     bounce_limit = 16
 
     def run(start):
@@ -36,14 +36,14 @@ def main():
         return s_sum
 
     run(0).block_until_ready()  # compile
-    n_reps = 3
+    n_progs = 4
     t0 = time.perf_counter()
-    for i in range(n_reps):
+    for i in range(n_progs):
         out = run(spp * (i + 1))
     out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_reps
+    dt = time.perf_counter() - t0
 
-    n_samples = resolution[0] * resolution[1] * spp
+    n_samples = resolution[0] * resolution[1] * spp * n_progs
     spps = n_samples / dt
     print(json.dumps({
         "metric": "path_samples_per_second",

@@ -1,0 +1,285 @@
+"""Light hierarchy for many-light importance sampling.
+
+Rebuild of the reference's light tree (Aggregation/Selection/LightTree.cs:20,
+Estevez & Kulla 2018 "Importance Sampling of Many Lights with Adaptive Tree
+Splitting"): a binary tree over finite light records built with a
+surface-area-orientation-heuristic sweep, flattened to SoA arrays for a
+fixed-depth probabilistic descent on device. Infinite lights (ambient,
+directional) are split off by power before the tree is consulted, exactly
+as the reference does (PreparedScene.cs:317-325).
+
+Per-light bound (reference Aggregation/Bounds/LightBound.cs:30):
+  center/radius  spatial bounding sphere
+  axis           principal emission direction (normal cone axis)
+  cos_theta_o    emission normal-cone half angle (cos)
+  cos_theta_e    emission falloff angle beyond theta_o (cos)
+  power          total emitted power (luminance-weighted)
+
+Device descent: at every interior node compute both children's importance
+for the shading point (power x angular falloff / distance^2), pick one
+proportionally, multiply the pmf, repeat to a leaf. The per-light path
+bitmask lets `pmf_of_light` recompute the same product for MIS — the
+analogue of the reference's token -> branch-bitmask map (LightTree.cs:26-37).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_DEPTH = 24
+
+
+class FlatLightTree(NamedTuple):
+    """Flattened binary light tree (device). Interior node i stores both
+    children's bounds so one gather per level fetches everything needed."""
+
+    child_is_leaf: jax.Array  # (K, 2) int32 1 if the child is a light leaf
+    child_index: jax.Array  # (K, 2) int32 node index or light record id
+    child_center: jax.Array  # (K, 2, 3)
+    child_radius: jax.Array  # (K, 2)
+    child_axis: jax.Array  # (K, 2, 3)
+    child_cos_o: jax.Array  # (K, 2)
+    child_cos_e: jax.Array  # (K, 2)
+    child_power: jax.Array  # (K, 2)
+    light_path: jax.Array  # (L,) uint32 branch bitmask root->leaf (bit d = went right at depth d)
+    light_depth: jax.Array  # (L,) int32 leaf depth
+    num_nodes: jax.Array  # () int32 (0 -> single-light degenerate tree)
+
+    @property
+    def size(self) -> int:
+        return self.child_is_leaf.shape[0]
+
+
+def build_light_tree(
+    center: np.ndarray,  # (L, 3)
+    radius: np.ndarray,  # (L,)
+    axis: np.ndarray,  # (L, 3)
+    theta_o: np.ndarray,  # (L,) emission cone half angle
+    theta_e: np.ndarray,  # (L,) falloff angle
+    power: np.ndarray,  # (L,)
+) -> FlatLightTree:
+    """Host SAOH sweep build (LightTree.cs:62-90 strategy: sort on the
+    major axis of centroid bounds, sweep the power x area x orientation
+    cost, split at the minimum)."""
+    n = center.shape[0]
+    assert n > 0
+    center = np.asarray(center, np.float64)
+    radius = np.asarray(radius, np.float64)
+    axis = np.asarray(axis, np.float64)
+    theta_o = np.asarray(theta_o, np.float64)
+    theta_e = np.asarray(theta_e, np.float64)
+    power = np.maximum(np.asarray(power, np.float64), 1e-12)
+
+    rows: list[dict] = []
+    light_path = np.zeros(n, np.uint32)
+    light_depth = np.zeros(n, np.int32)
+
+    def cluster_bound(idx):
+        """Merge light bounds: bounding sphere of spheres + merged cone."""
+        c = center[idx]
+        r = radius[idx]
+        lo = (c - r[:, None]).min(0)
+        hi = (c + r[:, None]).max(0)
+        cc = (lo + hi) / 2
+        cr = float(np.max(np.linalg.norm(c - cc, axis=-1) + r))
+        # merged orientation cone: power-weighted mean axis, widened by the
+        # max deviation (conservative, cheaper than the exact cone union)
+        w = power[idx][:, None]
+        mean_axis = (axis[idx] * w).sum(0)
+        norm = np.linalg.norm(mean_axis)
+        if norm < 1e-9:
+            return cc, cr, np.array([0.0, 0.0, 1.0]), np.pi, np.pi / 2
+        mean_axis = mean_axis / norm
+        dots = np.clip(axis[idx] @ mean_axis, -1.0, 1.0)
+        spread = np.arccos(dots) + theta_o[idx]
+        to = min(float(spread.max()), np.pi)
+        te = float(theta_e[idx].max())
+        return cc, cr, mean_axis, to, te
+
+    def orientation_measure(to, te):
+        """Angular measure M_omega of the cone (Estevez-Kulla eq. 1)."""
+        tw = min(to + te, np.pi)
+        s, c = np.sin(to), np.cos(to)
+        return 2 * np.pi * (1 - c) + np.pi / 2 * (
+            2 * tw * s - np.cos(to - 2 * tw) - 2 * to * s + c
+        )
+
+    def cluster_cost(idx):
+        cc, cr, ax, to, te = cluster_bound(idx)
+        lo = (center[idx] - radius[idx][:, None]).min(0)
+        hi = (center[idx] + radius[idx][:, None]).max(0)
+        e = np.maximum(hi - lo, 1e-9)
+        area = e[0] * e[1] + e[1] * e[2] + e[2] * e[0]
+        return power[idx].sum() * area * orientation_measure(to, te)
+
+    def recurse(idx: np.ndarray, depth: int, path: int):
+        if len(idx) == 1:
+            light_path[idx[0]] = path
+            light_depth[idx[0]] = depth
+            return ("leaf", int(idx[0]))
+        lo = center[idx].min(0)
+        hi = center[idx].max(0)
+        ax = int(np.argmax(hi - lo))
+        order = idx[np.argsort(center[idx, ax], kind="stable")]
+        best_cost, best_split = np.inf, len(order) // 2
+        if len(order) <= 32:  # full sweep for small clusters
+            for split in range(1, len(order)):
+                cost = cluster_cost(order[:split]) + cluster_cost(order[split:])
+                if cost < best_cost:
+                    best_cost, best_split = cost, split
+        node_slot = len(rows)
+        rows.append(None)  # reserve
+        left = recurse(order[:best_split], depth + 1, path)
+        right = recurse(order[best_split:], depth + 1, path | (1 << depth))
+        lb = cluster_bound(order[:best_split])
+        rb = cluster_bound(order[best_split:])
+        rows[node_slot] = dict(
+            leaf=[int(left[0] == "leaf"), int(right[0] == "leaf")],
+            index=[left[1], right[1]],
+            center=[lb[0], rb[0]],
+            radius=[lb[1], rb[1]],
+            axis=[lb[2], rb[2]],
+            cos_o=[np.cos(lb[3]), np.cos(rb[3])],
+            cos_e=[np.cos(lb[4]), np.cos(rb[4])],
+            power=[power[order[:best_split]].sum(), power[order[best_split:]].sum()],
+        )
+        return ("node", node_slot)
+
+    if n == 1:
+        rows.append(
+            dict(
+                leaf=[1, 1], index=[0, 0],
+                center=[center[0], center[0]], radius=[radius[0], radius[0]],
+                axis=[axis[0], axis[0]],
+                cos_o=[np.cos(theta_o[0])] * 2, cos_e=[np.cos(theta_e[0])] * 2,
+                power=[power[0], 0.0],  # right child weightless
+            )
+        )
+        light_depth[0] = 1
+    else:
+        import sys
+
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old, 10000 + 2 * n))
+        try:
+            recurse(np.arange(n), 0, 0)
+        finally:
+            sys.setrecursionlimit(old)
+
+    def stack(key, dtype=np.float32):
+        return jnp.asarray(np.asarray([r[key] for r in rows], dtype))
+
+    return FlatLightTree(
+        child_is_leaf=stack("leaf", np.int32),
+        child_index=stack("index", np.int32),
+        child_center=stack("center"),
+        child_radius=stack("radius"),
+        child_axis=stack("axis"),
+        child_cos_o=stack("cos_o"),
+        child_cos_e=stack("cos_e"),
+        child_power=stack("power"),
+        light_path=jnp.asarray(light_path),
+        light_depth=jnp.asarray(light_depth),
+        num_nodes=jnp.asarray(len(rows), jnp.int32),
+    )
+
+
+def _child_importance(tree: FlatLightTree, node, x):
+    """Importance of both children of `node` as seen from points x (N, 3):
+    power * cos(theta') / d'^2 with the Estevez-Kulla uncertainty-angle
+    falloff (LightBound.Importance, Aggregation/Bounds/LightBound.cs:30)."""
+    c = tree.child_center[node]  # (N, 2, 3)
+    r = tree.child_radius[node]  # (N, 2)
+    ax = tree.child_axis[node]
+    cos_o = tree.child_cos_o[node]
+    cos_e = tree.child_cos_e[node]
+    pw = tree.child_power[node]
+
+    delta = c - x[:, None, :]  # (N, 2, 3)
+    d2 = jnp.sum(delta * delta, axis=-1)
+    d = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    wi = delta / d[..., None]
+
+    # angle between the cone axis and the direction cluster->point
+    cos_i = jnp.clip(jnp.sum(ax * (-wi), axis=-1), -1.0, 1.0)
+    theta = jnp.arccos(cos_i)
+    theta_o = jnp.arccos(jnp.clip(cos_o, -1.0, 1.0))
+    theta_e = jnp.arccos(jnp.clip(cos_e, -1.0, 1.0))
+    # uncertainty from the cluster extent
+    sin_u = jnp.clip(r / d, 0.0, 1.0)
+    theta_u = jnp.arcsin(sin_u)
+    theta_p = jnp.maximum(theta - theta_o - theta_u, 0.0)
+    falloff = jnp.where(theta_p < theta_e, jnp.cos(theta_p), 0.0)
+    d2c = jnp.maximum(d2, (0.5 * r) ** 2)  # clamp inside-cluster blowup
+    imp = pw * jnp.maximum(falloff, 0.0) / d2c
+    # keep strictly positive so pmfs never vanish for reachable lights
+    return imp + pw * 1e-9
+
+
+def pick(tree: FlatLightTree, x, u):
+    """Descend the tree for shading points x (N, 3) with u (N,) in [0,1).
+    Returns (light record id (N,), pmf (N,))."""
+    n = x.shape[0]
+    node = jnp.zeros((n,), jnp.int32)
+    pmf = jnp.ones((n,), jnp.float32)
+    out = jnp.full((n,), -1, jnp.int32)
+    uu = u
+
+    def body(_, state):
+        node, pmf, out, uu = state
+        live = out < 0
+        imp = _child_importance(tree, jnp.maximum(node, 0), x)  # (N, 2)
+        total = jnp.maximum(imp.sum(-1), 1e-30)
+        p_left = imp[:, 0] / total
+        go_right = uu >= p_left
+        p_pick = jnp.where(go_right, 1.0 - p_left, p_left)
+        # rescale u within the chosen branch (sample reuse, Sample1D.Range)
+        uu_next = jnp.where(
+            go_right,
+            (uu - p_left) / jnp.maximum(1.0 - p_left, 1e-12),
+            uu / jnp.maximum(p_left, 1e-12),
+        )
+        uu_next = jnp.clip(uu_next, 0.0, 1.0 - 1e-7)
+        side = go_right.astype(jnp.int32)
+        is_leaf = jnp.take_along_axis(tree.child_is_leaf[node], side[:, None], 1)[:, 0]
+        nxt = jnp.take_along_axis(tree.child_index[node], side[:, None], 1)[:, 0]
+        new_pmf = jnp.where(live, pmf * p_pick, pmf)
+        new_out = jnp.where(live & (is_leaf == 1), nxt, out)
+        new_node = jnp.where(live & (is_leaf == 0), nxt, node)
+        return new_node, new_pmf, new_out, jnp.where(live, uu_next, uu)
+
+    node, pmf, out, uu = jax.lax.fori_loop(0, MAX_DEPTH, body, (node, pmf, out, uu))
+    return jnp.maximum(out, 0), pmf
+
+
+def pmf_of_light(tree: FlatLightTree, light, x):
+    """Probability that `pick` selects light record `light` (N,) from
+    shading points x (N, 3) — replays the branch decisions recorded in the
+    per-light path bitmask."""
+    n = x.shape[0]
+    light_c = jnp.maximum(light, 0)
+    path = tree.light_path[light_c]
+    depth = tree.light_depth[light_c]
+    node = jnp.zeros((n,), jnp.int32)
+    pmf = jnp.ones((n,), jnp.float32)
+
+    def body(d, state):
+        node, pmf = state
+        live = d < depth
+        imp = _child_importance(tree, node, x)
+        total = jnp.maximum(imp.sum(-1), 1e-30)
+        go_right = ((path >> d) & 1).astype(bool)
+        p = jnp.where(go_right, imp[:, 1], imp[:, 0]) / total
+        side = go_right.astype(jnp.int32)
+        nxt = jnp.take_along_axis(tree.child_index[node], side[:, None], 1)[:, 0]
+        return (
+            jnp.where(live, nxt, node),
+            jnp.where(live, pmf * p, pmf),
+        )
+
+    _, pmf = jax.lax.fori_loop(0, MAX_DEPTH, body, (node, pmf))
+    return jnp.where(light >= 0, pmf, 0.0)

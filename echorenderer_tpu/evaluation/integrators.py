@@ -116,7 +116,7 @@ def path_trace(
 
         # --- next event estimation (skipped for specular bounces) ---
         do_nee = active & ~bs.specular
-        record, pick_pmf = scene_ops.pick_light(scene, u_pick)
+        record, pick_pmf = scene_ops.pick_light(scene, u_pick, contact.point)
         ls = scene_ops.sample_light(scene, record, contact.point, u_light)
         wi_l_local = vec.to_local(ls.incident, tangent, bitangent, contact.shade_normal)
         f_l = bsdf_mod.evaluate(contact.material, wo_local, wi_l_local)
@@ -161,7 +161,7 @@ def path_trace(
         new_contact = scene_ops.interact(scene, new_hit, new_o, new_d)
         emitted = scene_ops.emission_at(scene, new_contact, -new_d)
         hit_light = scene.lights.prim_light[jnp.maximum(new_hit.prim, 0)]
-        light_pm = scene_ops.light_pmf(scene, hit_light)
+        light_pm = scene_ops.light_pmf(scene, hit_light, contact.point)
         fwd_pdf = light_pm * scene_ops.area_light_pdf(
             scene, new_hit.prim, contact.point, new_contact.point, new_contact.geo_normal, new_d
         )

@@ -195,23 +195,71 @@ class LightSample(NamedTuple):
     use_mis: jax.Array  # (N,) bool — non-delta light, MIS applies
 
 
-def pick_light(scene: PreparedScene, u) -> tuple[jax.Array, jax.Array]:
-    """Power-proportional light selection (flat LightPicker analogue).
+def _infinite_split(lt):
+    """Power fraction routed to infinite lights, and the masked power rows
+    (reference PreparedScene.cs:317-325 infinite-vs-finite split)."""
+    inf_mask = (lt.kind == LIGHT_DIRECTIONAL) | (lt.kind == LIGHT_AMBIENT)
+    w_inf = jnp.where(inf_mask, lt.power, 0.0)
+    total = jnp.maximum(jnp.sum(lt.power), 1e-20)
+    p_inf = jnp.sum(w_inf) / total
+    return p_inf, w_inf
+
+
+def pick_light(scene: PreparedScene, u, x=None) -> tuple[jax.Array, jax.Array]:
+    """Light selection: flat power CDF for small scenes, otherwise a
+    two-stage pick — infinite lights by power, finite lights by an
+    adaptive Estevez-Kulla tree descent from the shading point x.
     Returns (record index, pmf)."""
     lt = scene.lights
-    idx = jnp.searchsorted(lt.cdf, u, side="right").astype(jnp.int32)
-    idx = jnp.clip(idx, 0, lt.num_lights - 1)
-    total = jnp.sum(lt.power)
-    pmf = lt.power[idx] / jnp.maximum(total, 1e-20)
-    return idx, pmf
+    if lt.tree is None or x is None:
+        idx = jnp.searchsorted(lt.cdf, u, side="right").astype(jnp.int32)
+        idx = jnp.clip(idx, 0, lt.num_lights - 1)
+        total = jnp.sum(lt.power)
+        pmf = lt.power[idx] / jnp.maximum(total, 1e-20)
+        return idx, pmf
+
+    from ..aggregation import light_tree as lt_mod
+
+    p_inf, w_inf = _infinite_split(lt)
+    pick_inf = u < p_inf
+    # infinite branch: flat CDF over the masked rows
+    u_inf = jnp.clip(u / jnp.maximum(p_inf, 1e-12), 0.0, 1.0 - 1e-7)
+    sum_inf = jnp.maximum(jnp.sum(w_inf), 1e-20)
+    cdf_inf = jnp.cumsum(w_inf) / sum_inf
+    idx_inf = jnp.clip(
+        jnp.searchsorted(cdf_inf, u_inf, side="right").astype(jnp.int32),
+        0,
+        lt.num_lights - 1,
+    )
+    pmf_inf = w_inf[idx_inf] / sum_inf * p_inf
+    # finite branch: tree descent
+    u_fin = jnp.clip((u - p_inf) / jnp.maximum(1.0 - p_inf, 1e-12), 0.0, 1.0 - 1e-7)
+    leaf, pmf_tree = lt_mod.pick(lt.tree, x, u_fin)
+    rec_fin = lt.tree_records[leaf]
+    record = jnp.where(pick_inf, idx_inf, rec_fin)
+    pmf = jnp.where(pick_inf, pmf_inf, pmf_tree * (1.0 - p_inf))
+    return record, pmf
 
 
-def light_pmf(scene: PreparedScene, record) -> jax.Array:
+def light_pmf(scene: PreparedScene, record, x=None) -> jax.Array:
+    """Probability `pick_light` returns `record` (for forward-hit MIS)."""
     lt = scene.lights
-    total = jnp.sum(lt.power)
     ok = record >= 0
-    p = lt.power[jnp.maximum(record, 0)] / jnp.maximum(total, 1e-20)
-    return jnp.where(ok, p, 0.0)
+    rec = jnp.maximum(record, 0)
+    if lt.tree is None or x is None:
+        total = jnp.sum(lt.power)
+        p = lt.power[rec] / jnp.maximum(total, 1e-20)
+        return jnp.where(ok, p, 0.0)
+
+    from ..aggregation import light_tree as lt_mod
+
+    p_inf, w_inf = _infinite_split(lt)
+    sum_inf = jnp.maximum(jnp.sum(w_inf), 1e-20)
+    is_inf = w_inf[rec] > 0.0
+    p_flat = w_inf[rec] / sum_inf * p_inf
+    tree_id = lt.record_tree[rec]
+    p_tree = lt_mod.pmf_of_light(lt.tree, tree_id, x) * (1.0 - p_inf)
+    return jnp.where(ok, jnp.where(is_inf, p_flat, p_tree), 0.0)
 
 
 def sample_light(scene: PreparedScene, record, x, u2) -> LightSample:

@@ -85,10 +85,19 @@ class LightTable(NamedTuple):
     ambient_camera: jax.Array  # (3,) env radiance visible to camera rays
     env_rotation: jax.Array  # (3, 3) world->env-local rotation
     env_index: jax.Array  # () int32: directional texture id or -1
+    tree: object  # FlatLightTree over finite lights, or None (few lights)
+    tree_records: jax.Array  # (F,) int32 tree light id -> light record
+    record_tree: jax.Array  # (L,) int32 light record -> tree light id or -1
 
     @property
     def num_lights(self) -> int:
         return self.kind.shape[0]
+
+
+# finite-light count above which the Estevez-Kulla tree replaces the flat
+# power CDF (the reference always builds its LightTree; small scenes don't
+# benefit and the flat CDF costs one gather)
+LIGHT_TREE_THRESHOLD = 8
 
 
 class PreparedScene(NamedTuple):
@@ -344,6 +353,46 @@ def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene
     for (p, _), lrec in zip(emissive_prims, emissive_light):
         prim_light[p] = lrec
 
+    # --- Estevez-Kulla light tree over finite lights (LightTree.cs:20) ---
+    record_tree = np.full(len(kinds), -1, np.int32)
+    tree = None
+    tree_records = np.zeros(0, np.int32)
+    finite: list[tuple[int, np.ndarray, float, np.ndarray, float, float, float]] = []
+    for rec, (k, idx) in enumerate(zip(kinds, indices)):
+        if k == LIGHT_POINT:
+            pos = point_lights[idx][0]
+            finite.append((rec, pos, 0.0, np.asarray([0.0, 0.0, 1.0]), np.pi, np.pi / 2, powers[rec]))
+        elif k == LIGHT_EMISSIVE_TRI:
+            p = emissive_prims[idx][0]
+            if p < num_tris:
+                v0 = geom_np["tri_v0"][p]
+                v1 = v0 + geom_np["tri_e1"][p]
+                v2 = v0 + geom_np["tri_e2"][p]
+                c = (v0 + v1 + v2) / 3.0
+                r = float(max(np.linalg.norm(v0 - c), np.linalg.norm(v1 - c), np.linalg.norm(v2 - c)))
+                nrm = np.cross(geom_np["tri_e1"][p], geom_np["tri_e2"][p])
+                nrm = nrm / max(np.linalg.norm(nrm), 1e-20)
+                finite.append((rec, c, r, nrm, 0.0, np.pi / 2, powers[rec]))
+            else:
+                s = p - num_tris
+                c = geom_np["sph_center"][s]
+                r = float(geom_np["sph_radius"][s])
+                finite.append((rec, c, r, np.asarray([0.0, 0.0, 1.0]), np.pi, np.pi / 2, powers[rec]))
+    if len(finite) >= LIGHT_TREE_THRESHOLD:
+        from ..aggregation.light_tree import build_light_tree
+
+        tree_records = np.asarray([f[0] for f in finite], np.int32)
+        for ti, f in enumerate(finite):
+            record_tree[f[0]] = ti
+        tree = build_light_tree(
+            center=np.stack([f[1] for f in finite], 0),
+            radius=np.asarray([f[2] for f in finite]),
+            axis=np.stack([f[3] for f in finite], 0),
+            theta_o=np.asarray([f[4] for f in finite]),
+            theta_e=np.asarray([f[5] for f in finite]),
+            power=np.asarray([f[6] for f in finite]),
+        )
+
     lights = LightTable(
         kind=jnp.asarray(kinds, jnp.int32),
         index=jnp.asarray(indices, jnp.int32),
@@ -370,6 +419,9 @@ def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene
         ambient_camera=jnp.asarray(ambient_camera),
         env_rotation=jnp.asarray(env_rotation),
         env_index=jnp.asarray(env_index, jnp.int32),
+        tree=tree,
+        tree_records=jnp.asarray(tree_records),
+        record_tree=jnp.asarray(record_tree),
     )
 
     # --- camera ---
