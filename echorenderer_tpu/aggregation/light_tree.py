@@ -15,6 +15,12 @@ Per-light bound (reference Aggregation/Bounds/LightBound.cs:30):
   cos_theta_e    emission falloff angle beyond theta_o (cos)
   power          total emitted power (luminance-weighted)
 
+TPU layout: all per-node data for BOTH children lives in one packed
+(K, 24) row — center(3) radius axis(3) cos_o cos_e power is_leaf index per
+child — so each descent level costs exactly ONE gather (the analogue of
+the reference's 128-byte cache-line QBVH nodes). The descent loop bound is
+the tree's true depth, a static host-side int.
+
 Device descent: at every interior node compute both children's importance
 for the shading point (power x angular falloff / distance^2), pick one
 proportionally, multiply the pmf, repeat to a leaf. The per-light path
@@ -30,28 +36,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MAX_DEPTH = 24
+_F = 12  # packed floats per child
 
 
 class FlatLightTree(NamedTuple):
-    """Flattened binary light tree (device). Interior node i stores both
-    children's bounds so one gather per level fetches everything needed."""
+    """Flattened binary light tree (device). nodes[i] packs both children:
+    [cx cy cz r ax ay az cos_o cos_e power is_leaf index] x 2."""
 
-    child_is_leaf: jax.Array  # (K, 2) int32 1 if the child is a light leaf
-    child_index: jax.Array  # (K, 2) int32 node index or light record id
-    child_center: jax.Array  # (K, 2, 3)
-    child_radius: jax.Array  # (K, 2)
-    child_axis: jax.Array  # (K, 2, 3)
-    child_cos_o: jax.Array  # (K, 2)
-    child_cos_e: jax.Array  # (K, 2)
-    child_power: jax.Array  # (K, 2)
-    light_path: jax.Array  # (L,) uint32 branch bitmask root->leaf (bit d = went right at depth d)
+    nodes: jax.Array  # (K, 24) float32
+    light_path: jax.Array  # (L,) uint32 branch bitmask root->leaf
     light_depth: jax.Array  # (L,) int32 leaf depth
-    num_nodes: jax.Array  # () int32 (0 -> single-light degenerate tree)
+    max_depth: int  # static descent bound
 
     @property
     def size(self) -> int:
-        return self.child_is_leaf.shape[0]
+        return self.nodes.shape[0]
+
+
+jax.tree_util.register_pytree_node(
+    FlatLightTree,
+    lambda t: ((t.nodes, t.light_path, t.light_depth), t.max_depth),
+    lambda aux, xs: FlatLightTree(*xs, aux),
+)
 
 
 def build_light_tree(
@@ -74,7 +80,7 @@ def build_light_tree(
     theta_e = np.asarray(theta_e, np.float64)
     power = np.maximum(np.asarray(power, np.float64), 1e-12)
 
-    rows: list[dict] = []
+    rows: list[np.ndarray] = []
     light_path = np.zeros(n, np.uint32)
     light_depth = np.zeros(n, np.int32)
 
@@ -116,6 +122,13 @@ def build_light_tree(
         area = e[0] * e[1] + e[1] * e[2] + e[2] * e[0]
         return power[idx].sum() * area * orientation_measure(to, te)
 
+    def child_cols(bound, leaf, index):
+        cc, cr, ax, to, te = bound
+        return np.asarray(
+            [*cc, cr, *ax, np.cos(to), np.cos(te), 0.0, float(leaf), float(index)],
+            np.float64,
+        )
+
     def recurse(idx: np.ndarray, depth: int, path: int):
         if len(idx) == 1:
             light_path[idx[0]] = path
@@ -135,30 +148,22 @@ def build_light_tree(
         rows.append(None)  # reserve
         left = recurse(order[:best_split], depth + 1, path)
         right = recurse(order[best_split:], depth + 1, path | (1 << depth))
-        lb = cluster_bound(order[:best_split])
-        rb = cluster_bound(order[best_split:])
-        rows[node_slot] = dict(
-            leaf=[int(left[0] == "leaf"), int(right[0] == "leaf")],
-            index=[left[1], right[1]],
-            center=[lb[0], rb[0]],
-            radius=[lb[1], rb[1]],
-            axis=[lb[2], rb[2]],
-            cos_o=[np.cos(lb[3]), np.cos(rb[3])],
-            cos_e=[np.cos(lb[4]), np.cos(rb[4])],
-            power=[power[order[:best_split]].sum(), power[order[best_split:]].sum()],
-        )
+        row = np.zeros(2 * _F, np.float64)
+        for side, res, sel in ((0, left, order[:best_split]), (1, right, order[best_split:])):
+            col = child_cols(cluster_bound(sel), res[0] == "leaf", res[1])
+            col[9] = power[sel].sum()
+            row[side * _F : (side + 1) * _F] = col
+        rows[node_slot] = row
         return ("node", node_slot)
 
     if n == 1:
-        rows.append(
-            dict(
-                leaf=[1, 1], index=[0, 0],
-                center=[center[0], center[0]], radius=[radius[0], radius[0]],
-                axis=[axis[0], axis[0]],
-                cos_o=[np.cos(theta_o[0])] * 2, cos_e=[np.cos(theta_e[0])] * 2,
-                power=[power[0], 0.0],  # right child weightless
-            )
-        )
+        row = np.zeros(2 * _F, np.float64)
+        col = child_cols(cluster_bound(np.asarray([0])), True, 0)
+        col[9] = power[0]
+        row[:_F] = col
+        row[_F:] = col
+        row[_F + 9] = 0.0  # right child weightless
+        rows.append(row)
         light_depth[0] = 1
     else:
         import sys
@@ -170,34 +175,25 @@ def build_light_tree(
         finally:
             sys.setrecursionlimit(old)
 
-    def stack(key, dtype=np.float32):
-        return jnp.asarray(np.asarray([r[key] for r in rows], dtype))
-
     return FlatLightTree(
-        child_is_leaf=stack("leaf", np.int32),
-        child_index=stack("index", np.int32),
-        child_center=stack("center"),
-        child_radius=stack("radius"),
-        child_axis=stack("axis"),
-        child_cos_o=stack("cos_o"),
-        child_cos_e=stack("cos_e"),
-        child_power=stack("power"),
+        nodes=jnp.asarray(np.stack(rows).astype(np.float32)),
         light_path=jnp.asarray(light_path),
         light_depth=jnp.asarray(light_depth),
-        num_nodes=jnp.asarray(len(rows), jnp.int32),
+        max_depth=int(light_depth.max()),
     )
 
 
-def _child_importance(tree: FlatLightTree, node, x):
-    """Importance of both children of `node` as seen from points x (N, 3):
-    power * cos(theta') / d'^2 with the Estevez-Kulla uncertainty-angle
-    falloff (LightBound.Importance, Aggregation/Bounds/LightBound.cs:30)."""
-    c = tree.child_center[node]  # (N, 2, 3)
-    r = tree.child_radius[node]  # (N, 2)
-    ax = tree.child_axis[node]
-    cos_o = tree.child_cos_o[node]
-    cos_e = tree.child_cos_e[node]
-    pw = tree.child_power[node]
+def _child_importance(row, x):
+    """Importance of both children packed in `row` (N, 24) as seen from
+    points x (N, 3): power * cos(theta') / d'^2 with the Estevez-Kulla
+    uncertainty-angle falloff (LightBound.Importance, LightBound.cs:30)."""
+    r2 = row.reshape(row.shape[0], 2, _F)
+    c = r2[..., 0:3]
+    r = r2[..., 3]
+    ax = r2[..., 4:7]
+    cos_o = r2[..., 7]
+    cos_e = r2[..., 8]
+    pw = r2[..., 9]
 
     delta = c - x[:, None, :]  # (N, 2, 3)
     d2 = jnp.sum(delta * delta, axis=-1)
@@ -232,7 +228,8 @@ def pick(tree: FlatLightTree, x, u):
     def body(_, state):
         node, pmf, out, uu = state
         live = out < 0
-        imp = _child_importance(tree, jnp.maximum(node, 0), x)  # (N, 2)
+        row = tree.nodes[jnp.maximum(node, 0)]  # one gather per level
+        imp = _child_importance(row, x)  # (N, 2)
         total = jnp.maximum(imp.sum(-1), 1e-30)
         p_left = imp[:, 0] / total
         go_right = uu >= p_left
@@ -245,14 +242,19 @@ def pick(tree: FlatLightTree, x, u):
         )
         uu_next = jnp.clip(uu_next, 0.0, 1.0 - 1e-7)
         side = go_right.astype(jnp.int32)
-        is_leaf = jnp.take_along_axis(tree.child_is_leaf[node], side[:, None], 1)[:, 0]
-        nxt = jnp.take_along_axis(tree.child_index[node], side[:, None], 1)[:, 0]
+        meta = jnp.take_along_axis(
+            row.reshape(n, 2, _F)[..., 10:12], side[:, None, None], 1
+        )[:, 0]
+        is_leaf = meta[..., 0] > 0.5
+        nxt = meta[..., 1].astype(jnp.int32)
         new_pmf = jnp.where(live, pmf * p_pick, pmf)
-        new_out = jnp.where(live & (is_leaf == 1), nxt, out)
-        new_node = jnp.where(live & (is_leaf == 0), nxt, node)
+        new_out = jnp.where(live & is_leaf, nxt, out)
+        new_node = jnp.where(live & ~is_leaf, nxt, node)
         return new_node, new_pmf, new_out, jnp.where(live, uu_next, uu)
 
-    node, pmf, out, uu = jax.lax.fori_loop(0, MAX_DEPTH, body, (node, pmf, out, uu))
+    node, pmf, out, uu = jax.lax.fori_loop(
+        0, tree.max_depth, body, (node, pmf, out, uu)
+    )
     return jnp.maximum(out, 0), pmf
 
 
@@ -270,16 +272,19 @@ def pmf_of_light(tree: FlatLightTree, light, x):
     def body(d, state):
         node, pmf = state
         live = d < depth
-        imp = _child_importance(tree, node, x)
+        row = tree.nodes[node]
+        imp = _child_importance(row, x)
         total = jnp.maximum(imp.sum(-1), 1e-30)
         go_right = ((path >> d) & 1).astype(bool)
         p = jnp.where(go_right, imp[:, 1], imp[:, 0]) / total
         side = go_right.astype(jnp.int32)
-        nxt = jnp.take_along_axis(tree.child_index[node], side[:, None], 1)[:, 0]
+        nxt = (
+            jnp.take_along_axis(row.reshape(n, 2, _F)[..., 11], side[:, None], 1)[:, 0]
+        ).astype(jnp.int32)
         return (
             jnp.where(live, nxt, node),
             jnp.where(live, pmf * p, pmf),
         )
 
-    _, pmf = jax.lax.fori_loop(0, MAX_DEPTH, body, (node, pmf))
+    _, pmf = jax.lax.fori_loop(0, tree.max_depth, body, (node, pmf))
     return jnp.where(light >= 0, pmf, 0.0)

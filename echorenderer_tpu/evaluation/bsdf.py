@@ -47,12 +47,23 @@ ALPHA_THRESHOLD = 1e-4  # below this GGX degenerates to a delta (IMicrofacet.cs:
 
 
 class GatheredMaterial(NamedTuple):
-    """Per-lane material parameters gathered from the MaterialTable."""
+    """Per-lane material parameters gathered from the MaterialTable.
+    `present` is the static tuple of material type ids that exist in the
+    scene: the branchless dispatch only evaluates those models (a Cornell
+    box shades pure-Lambert instead of paying GGX+Fresnel on every lane)."""
 
     type: jax.Array  # (N,) int32
     albedo: jax.Array  # (N, 3)
     params: jax.Array  # (N, 4)
     extra: jax.Array  # (N, 3)
+    present: tuple = (DIFFUSE, DIELECTRIC, CONDUCTOR, EMISSIVE, COATED_DIFFUSE, INVISIBLE)
+
+
+jax.tree_util.register_pytree_node(
+    GatheredMaterial,
+    lambda m: ((m.type, m.albedo, m.params, m.extra), m.present),
+    lambda aux, xs: GatheredMaterial(*xs, aux),
+)
 
 
 class BSDFSample(NamedTuple):
@@ -455,17 +466,33 @@ def _invisible_sample(mat, wo):
 
 
 def sample(mat: GatheredMaterial, wo, u2, u_lobe) -> BSDFSample:
-    """Sample an incident direction for every lane; all material models are
-    evaluated and the result selected by type (branchless wavefront dispatch)."""
+    """Sample an incident direction for every lane; the material models
+    PRESENT in the scene are evaluated and the result selected by type
+    (branchless wavefront dispatch, statically pruned per scene)."""
     t = mat.type
+    present = set(mat.present)
     smooth_dielectric = roughness_to_alpha(mat.params[..., 0]) <= ALPHA_THRESHOLD
 
-    s_diff = _diffuse_sample(mat, wo, u2, u_lobe)
-    s_diel_s = _dielectric_smooth_sample(mat, wo, u_lobe)
-    s_diel_r = _dielectric_rough_sample(mat, wo, u2, u_lobe)
-    s_cond = _conductor_sample(mat, wo, u2)
-    s_coat = _coated_sample(mat, wo, u2, u_lobe)
-    s_inv = _invisible_sample(mat, wo)
+    candidates = []
+    if DIFFUSE in present:
+        candidates.append((DIFFUSE, _diffuse_sample(mat, wo, u2, u_lobe)))
+    if DIELECTRIC in present:
+        s_s = _dielectric_smooth_sample(mat, wo, u_lobe)
+        s_r = _dielectric_rough_sample(mat, wo, u2, u_lobe)
+        diel = BSDFSample(*(
+            jnp.where(_expand(smooth_dielectric, a), a, b)
+            for a, b in zip(s_s, s_r)
+        ))
+        candidates.append((DIELECTRIC, diel))
+    if CONDUCTOR in present:
+        candidates.append((CONDUCTOR, _conductor_sample(mat, wo, u2)))
+    if COATED_DIFFUSE in present:
+        candidates.append((COATED_DIFFUSE, _coated_sample(mat, wo, u2, u_lobe)))
+    if INVISIBLE in present:
+        candidates.append((INVISIBLE, _invisible_sample(mat, wo)))
+
+    if len(candidates) == 1 and EMISSIVE not in present:
+        return candidates[0][1]
     zero = BSDFSample(
         incident=jnp.zeros_like(wo),
         value=jnp.zeros_like(wo),
@@ -474,20 +501,10 @@ def sample(mat: GatheredMaterial, wo, u2, u_lobe) -> BSDFSample:
     )
 
     def pick(field):
-        diel = jnp.where(
-            _expand(smooth_dielectric, getattr(s_diel_s, field)),
-            getattr(s_diel_s, field),
-            getattr(s_diel_r, field),
-        )
         out = getattr(zero, field)
-        for tid, cand in (
-            (DIFFUSE, getattr(s_diff, field)),
-            (DIELECTRIC, diel),
-            (CONDUCTOR, getattr(s_cond, field)),
-            (COATED_DIFFUSE, getattr(s_coat, field)),
-            (INVISIBLE, getattr(s_inv, field)),
-        ):
-            out = jnp.where(_expand(t == tid, cand), cand, out)
+        for tid, cand in candidates:
+            c = getattr(cand, field)
+            out = jnp.where(_expand(t == tid, c), c, out)
         return out
 
     return BSDFSample(
@@ -498,51 +515,43 @@ def sample(mat: GatheredMaterial, wo, u2, u_lobe) -> BSDFSample:
     )
 
 
+def _eval_pdf_candidates(mat, wo, wi):
+    """(type, value, pdf) rows for the non-delta models present."""
+    present = set(mat.present)
+    smooth_dielectric = roughness_to_alpha(mat.params[..., 0]) <= ALPHA_THRESHOLD
+    rows = []
+    if DIFFUSE in present:
+        rows.append((DIFFUSE, _diffuse_eval(mat, wo, wi), _diffuse_pdf(mat, wo, wi)))
+    if DIELECTRIC in present:
+        v, p = _dielectric_rough_eval_pdf(mat, wo, wi)
+        v = jnp.where(smooth_dielectric[..., None], 0.0, v)
+        p = jnp.where(smooth_dielectric, 0.0, p)
+        rows.append((DIELECTRIC, v, p))
+    if CONDUCTOR in present:
+        v, p = _conductor_eval_pdf(mat, wo, wi)
+        spec = jnp.clip(mat.params[..., 0] * 0.75, 0.0, 1.0) ** 2 < ALPHA_THRESHOLD
+        rows.append((CONDUCTOR, jnp.where(spec[..., None], 0.0, v), jnp.where(spec, 0.0, p)))
+    if COATED_DIFFUSE in present:
+        v, p = _coated_eval_pdf(mat, wo, wi)
+        rows.append((COATED_DIFFUSE, v, p))
+    return rows
+
+
 def evaluate(mat: GatheredMaterial, wo, wi) -> jax.Array:
     """BSDF value excluding delta lobes (for NEE light sampling)."""
     t = mat.type
-    smooth_dielectric = roughness_to_alpha(mat.params[..., 0]) <= ALPHA_THRESHOLD
-    v_diff = _diffuse_eval(mat, wo, wi)
-    v_diel, _ = _dielectric_rough_eval_pdf(mat, wo, wi)
-    v_diel = jnp.where(smooth_dielectric[..., None], 0.0, v_diel)
-    v_cond, _ = _conductor_eval_pdf(mat, wo, wi)
-    v_cond = jnp.where(
-        (jnp.clip(mat.params[..., 0] * 0.75, 0.0, 1.0) ** 2 < ALPHA_THRESHOLD)[..., None],
-        0.0,
-        v_cond,
-    )
-    v_coat, _ = _coated_eval_pdf(mat, wo, wi)
     out = jnp.zeros_like(wo)
-    for tid, cand in (
-        (DIFFUSE, v_diff),
-        (DIELECTRIC, v_diel),
-        (CONDUCTOR, v_cond),
-        (COATED_DIFFUSE, v_coat),
-    ):
-        out = jnp.where((t == tid)[..., None], cand, out)
+    for tid, v, _ in _eval_pdf_candidates(mat, wo, wi):
+        out = jnp.where((t == tid)[..., None], v, out)
     return out
 
 
 def pdf(mat: GatheredMaterial, wo, wi) -> jax.Array:
     """pdf of `sample` producing wi, excluding delta lobes (for MIS)."""
     t = mat.type
-    smooth_dielectric = roughness_to_alpha(mat.params[..., 0]) <= ALPHA_THRESHOLD
-    p_diff = _diffuse_pdf(mat, wo, wi)
-    _, p_diel = _dielectric_rough_eval_pdf(mat, wo, wi)
-    p_diel = jnp.where(smooth_dielectric, 0.0, p_diel)
-    _, p_cond = _conductor_eval_pdf(mat, wo, wi)
-    p_cond = jnp.where(
-        jnp.clip(mat.params[..., 0] * 0.75, 0.0, 1.0) ** 2 < ALPHA_THRESHOLD, 0.0, p_cond
-    )
-    _, p_coat = _coated_eval_pdf(mat, wo, wi)
     out = jnp.zeros(wo.shape[:-1])
-    for tid, cand in (
-        (DIFFUSE, p_diff),
-        (DIELECTRIC, p_diel),
-        (CONDUCTOR, p_cond),
-        (COATED_DIFFUSE, p_coat),
-    ):
-        out = jnp.where(t == tid, cand, out)
+    for tid, _, p in _eval_pdf_candidates(mat, wo, wi):
+        out = jnp.where(t == tid, p, out)
     return out
 
 

@@ -143,6 +143,7 @@ def interact(scene: PreparedScene, hit: Hit, o, d) -> Contact:
         albedo=albedo,
         params=m.params[mat_id],
         extra=m.extra[mat_id],
+        present=m.present if m.present else GatheredMaterial._field_defaults["present"],
     )
     return Contact(
         point=point,

@@ -27,13 +27,14 @@ from ..utils import accumulator as acc_mod
 from ..utils.rng import SampleStream
 
 EVALUATORS: dict[str, Callable] = {
-    "path": integrators.path_trace,
+    "path": integrators.path_trace,  # intercepted: wavefront regeneration
+    "path_lockstep": integrators.path_trace,  # naive lockstep (A/B reference)
     "naive": integrators.naive_trace,
     "albedo": integrators.albedo,
     "normal_depth": integrators.normal_depth,
 }
 
-AOV_CHANNELS = {"path": 3, "naive": 3, "albedo": 3, "normal_depth": 4}
+AOV_CHANNELS = {"path": 3, "path_lockstep": 3, "naive": 3, "albedo": 3, "normal_depth": 4}
 
 
 @dataclasses.dataclass
@@ -117,6 +118,17 @@ def _sample_frame(scene: PreparedScene, evaluator: str, resolution, seed, sample
     px = (pixel_id % width).astype(jnp.int32)
     py = (pixel_id // width).astype(jnp.int32)
     pixel_xy = jnp.stack([px, py], axis=-1)
+
+    if evaluator == "path":
+        # the production integrator: wavefront with path regeneration
+        from ..evaluation.wavefront import sample_frame_wavefront
+
+        return sample_frame_wavefront(
+            scene, pixel_id, pixel_xy, resolution,
+            seed, jnp.asarray(sample_start, jnp.uint32), count,
+            bounce_limit=bounce_limit, survivability=survivability,
+        )
+
     fn = EVALUATORS[evaluator]
 
     def one_sample(i, carry):
@@ -129,11 +141,13 @@ def _sample_frame(scene: PreparedScene, evaluator: str, resolution, seed, sample
         shift = stream.next_2d(0)
         lens = stream.next_2d(1)
         o, d = spawn_rays(scene.camera, pixel_xy, shift, lens, resolution)
-        if evaluator in ("path", "naive"):
-            value = fn(scene, stream, o, d, bounce_limit=bounce_limit, survivability=survivability) if evaluator == "path" else fn(scene, stream, o, d, bounce_limit=bounce_limit)
+        if evaluator == "path_lockstep":
+            value = fn(scene, stream, o, d, bounce_limit=bounce_limit, survivability=survivability)
+        elif evaluator == "naive":
+            value = fn(scene, stream, o, d, bounce_limit=bounce_limit)
         else:
             value = fn(scene, stream, o, d)
-        value = jnp.nan_to_num(value, nan=0.0, posinf=0.0, neginf=0.0) if evaluator in ("path", "naive") else value
+        value = jnp.nan_to_num(value, nan=0.0, posinf=0.0, neginf=0.0) if evaluator in ("path_lockstep", "naive") else value
         return s_sum + value, s_sq + value * value
 
     init = (jnp.zeros((n, channels)), jnp.zeros((n, channels)))

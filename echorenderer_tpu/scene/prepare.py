@@ -57,7 +57,9 @@ jax.tree_util.register_pytree_node(
 class MaterialTable(NamedTuple):
     """Interned material parameter blocks (device). The fixed-size-block
     answer to the reference's arena-allocated polymorphic BSDFs
-    (Common/Memory/Allocator.cs + Evaluation/Scattering/BSDF.cs)."""
+    (Common/Memory/Allocator.cs + Evaluation/Scattering/BSDF.cs).
+    `present` (static) lists the material type ids in the scene so BSDF
+    dispatch only compiles the models actually used."""
 
     type: jax.Array  # (M,) int32 material type id
     albedo: jax.Array  # (M, 3) linear RGB
@@ -65,6 +67,14 @@ class MaterialTable(NamedTuple):
     extra: jax.Array  # (M, 3) e.g. conductor edge color
     one_sided: jax.Array  # (M,) int32 flag
     albedo_tex: jax.Array  # (M,) int32 texture id or -1
+    present: tuple = ()  # static aux
+
+
+jax.tree_util.register_pytree_node(
+    MaterialTable,
+    lambda m: (tuple(m[:6]), m.present),
+    lambda aux, xs: MaterialTable(*xs, aux),
+)
 
 
 class LightTable(NamedTuple):
@@ -454,6 +464,7 @@ def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene
         extra=jnp.asarray(mextra),
         one_sided=jnp.asarray(mone),
         albedo_tex=jnp.asarray(mtex),
+        present=tuple(sorted(int(t) for t in np.unique(mtypes))),
     )
     return PreparedScene(
         geometry=geometry,
