@@ -200,18 +200,27 @@ def _child_importance(row, x):
     d = jnp.sqrt(jnp.maximum(d2, 1e-12))
     wi = delta / d[..., None]
 
-    # angle between the cone axis and the direction cluster->point
+    # all angle arithmetic in cos/sin space (no arccos/arcsin/cos calls —
+    # they dominated the descent cost on the VPU): for angles in [0, pi],
+    # theta' = max(theta - (theta_o + theta_u), 0) and the comparisons
+    # theta' > 0, theta' < theta_e reduce to products of cos/sin pairs.
     cos_i = jnp.clip(jnp.sum(ax * (-wi), axis=-1), -1.0, 1.0)
-    theta = jnp.arccos(cos_i)
-    theta_o = jnp.arccos(jnp.clip(cos_o, -1.0, 1.0))
-    theta_e = jnp.arccos(jnp.clip(cos_e, -1.0, 1.0))
-    # uncertainty from the cluster extent
-    sin_u = jnp.clip(r / d, 0.0, 1.0)
-    theta_u = jnp.arcsin(sin_u)
-    theta_p = jnp.maximum(theta - theta_o - theta_u, 0.0)
-    falloff = jnp.where(theta_p < theta_e, jnp.cos(theta_p), 0.0)
+    sin_i = jnp.sqrt(jnp.maximum(1.0 - cos_i * cos_i, 0.0))
+    cos_o = jnp.clip(cos_o, -1.0, 1.0)
+    sin_o = jnp.sqrt(jnp.maximum(1.0 - cos_o * cos_o, 0.0))
+    sin_u = jnp.clip(r / d, 0.0, 1.0)  # uncertainty from cluster extent
+    cos_u = jnp.sqrt(jnp.maximum(1.0 - sin_u * sin_u, 0.0))
+    # cos/sin of (theta_o + theta_u)
+    cos_ou = cos_o * cos_u - sin_o * sin_u
+    sin_ou = sin_o * cos_u + cos_o * sin_u
+    sum_ge_pi = cos_o <= -cos_u  # theta_o + theta_u >= pi -> theta' = 0
+    # cos(theta - (theta_o + theta_u))
+    cos_p = cos_i * cos_ou + sin_i * sin_ou
+    inside = sum_ge_pi | (cos_i >= cos_ou)  # theta' <= 0
+    cos_p_eff = jnp.where(inside, 1.0, cos_p)
+    falloff = jnp.where(cos_p_eff >= cos_e, jnp.maximum(cos_p_eff, 0.0), 0.0)
     d2c = jnp.maximum(d2, (0.5 * r) ** 2)  # clamp inside-cluster blowup
-    imp = pw * jnp.maximum(falloff, 0.0) / d2c
+    imp = pw * falloff / d2c
     # keep strictly positive so pmfs never vanish for reachable lights
     return imp + pw * 1e-9
 

@@ -100,49 +100,44 @@ class Contact(NamedTuple):
 
 def interact(scene: PreparedScene, hit: Hit, o, d) -> Contact:
     """Build the shading contact for each lane's hit (masked by hit.found;
-    lanes without hits get clamped garbage that callers must mask)."""
-    g = scene.geometry
-    num_tri = g.num_triangles
+    lanes without hits get clamped garbage that callers must mask).
+    One packed row gather per prim + one per material (the TPU analogue of
+    the reference's contiguous PreparedTriangle reads)."""
     prim = jnp.maximum(hit.prim, 0)
-    is_tri = prim < num_tri
-    ti = jnp.clip(prim, 0, max(num_tri - 1, 0))
-    si = jnp.clip(prim - num_tri, 0, max(g.num_spheres - 1, 0))
+    row = scene.shade_pack[prim]  # (N, 24) — the one geometry gather
+    is_sph = row[..., 20] > 0.5
 
     point = o + d * hit.t[..., None]
 
-    # triangle shading data
     u, v = hit.uv[..., 0], hit.uv[..., 1]
     w = 1.0 - u - v
-    tri_geo = vec.normalize(jnp.cross(g.tri_e1[ti], g.tri_e2[ti]))
+    tri_geo = row[..., 0:3]
     tri_shade = vec.normalize(
-        w[..., None] * g.tri_n0[ti] + u[..., None] * g.tri_n1[ti] + v[..., None] * g.tri_n2[ti]
+        w[..., None] * row[..., 3:6] + u[..., None] * row[..., 6:9] + v[..., None] * row[..., 9:12]
     )
     tri_uv = (
-        w[..., None] * g.tri_uv0[ti] + u[..., None] * g.tri_uv1[ti] + v[..., None] * g.tri_uv2[ti]
+        w[..., None] * row[..., 12:14]
+        + u[..., None] * row[..., 14:16]
+        + v[..., None] * row[..., 16:18]
     )
-    tri_mat = g.tri_mat[ti]
-
-    if g.num_spheres:
-        sph_geo = vec.normalize(point - g.sph_center[si])
-        sph_mat = g.sph_mat[si]
-        geo_n = jnp.where(is_tri[..., None], tri_geo, sph_geo)
-        shade_n = jnp.where(is_tri[..., None], tri_shade, sph_geo)
-        mat_id = jnp.where(is_tri, tri_mat, sph_mat)
-        uv_out = jnp.where(is_tri[..., None], tri_uv, hit.uv)
-    else:
-        geo_n, shade_n, mat_id, uv_out = tri_geo, tri_shade, tri_mat, tri_uv
+    sph_geo = vec.normalize(point - row[..., 0:3])
+    geo_n = jnp.where(is_sph[..., None], sph_geo, tri_geo)
+    shade_n = jnp.where(is_sph[..., None], sph_geo, tri_shade)
+    uv_out = jnp.where(is_sph[..., None], hit.uv, tri_uv)
+    mat_id = row[..., 18].astype(jnp.int32)
 
     m = scene.materials
-    albedo = m.albedo[mat_id]
+    mrow = scene.mat_pack[mat_id]  # (N, 16) — the one material gather
+    albedo = mrow[..., 0:3]
     if scene.tex_atlas.shape[0]:  # textured albedos: one bilinear atlas gather
-        tid = m.albedo_tex[mat_id]
+        tid = mrow[..., 11].astype(jnp.int32)
         tex_rgb = _sample_atlas(scene.tex_atlas, jnp.maximum(tid, 0), uv_out)
         albedo = jnp.where((tid >= 0)[..., None], tex_rgb, albedo)
     material = GatheredMaterial(
-        type=m.type[mat_id],
+        type=mrow[..., 10].astype(jnp.int32),
         albedo=albedo,
-        params=m.params[mat_id],
-        extra=m.extra[mat_id],
+        params=mrow[..., 3:7],
+        extra=mrow[..., 7:10],
         present=m.present if m.present else GatheredMaterial._field_defaults["present"],
     )
     return Contact(
@@ -305,47 +300,32 @@ def sample_light(scene: PreparedScene, record, x, u2) -> LightSample:
         amb_pdf = jnp.full(n, 1.0 / (4.0 * jnp.pi))
         rad_a = jnp.broadcast_to(lt.ambient_all, x.shape)
 
-    # --- emissive triangle/sphere ---
+    # --- emissive triangle/sphere (one packed row gather) ---
     if lt.emissive_prim.shape[0]:
         ei = jnp.clip(index, 0, lt.emissive_prim.shape[0] - 1)
         prim = lt.emissive_prim[ei]
-        num_tri = g.num_triangles
-        is_tri = prim < num_tri
-        ti = jnp.clip(prim, 0, max(num_tri - 1, 0))
+        erow = scene.emissive_pack[ei]  # (N, 20)
+        is_sph_e = erow[..., 16] > 0.5
+
         bary = rng_mod.uniform_triangle(u2)
         p_tri = (
-            g.tri_v0[ti]
-            + bary[..., 0:1] * g.tri_e1[ti]
-            + bary[..., 1:2] * g.tri_e2[ti]
+            erow[..., 0:3]
+            + bary[..., 0:1] * erow[..., 3:6]
+            + bary[..., 1:2] * erow[..., 6:9]
         )
-        cross_t = jnp.cross(g.tri_e1[ti], g.tri_e2[ti])
-        area_tri = 0.5 * vec.length(cross_t)
-        n_tri = cross_t / jnp.maximum(2.0 * area_tri[..., None], 1e-20)
-
-        if g.num_spheres:
-            si = jnp.clip(prim - num_tri, 0, g.num_spheres - 1)
-            sp_dir = rng_mod.uniform_sphere(u2)
-            p_sph = g.sph_center[si] + sp_dir * g.sph_radius[si][..., None]
-            n_sph = sp_dir
-            area_sph = 4.0 * jnp.pi * g.sph_radius[si] ** 2
-            p_l = jnp.where(is_tri[..., None], p_tri, p_sph)
-            n_l = jnp.where(is_tri[..., None], n_tri, n_sph)
-            area = jnp.where(is_tri, area_tri, area_sph)
-        else:
-            p_l, n_l, area = p_tri, n_tri, area_tri
+        n_tri = erow[..., 9:12]
+        sp_dir = rng_mod.uniform_sphere(u2)
+        p_sph = erow[..., 0:3] + sp_dir * erow[..., 3:4]
+        p_l = jnp.where(is_sph_e[..., None], p_sph, p_tri)
+        n_l = jnp.where(is_sph_e[..., None], sp_dir, n_tri)
+        area = erow[..., 15]
 
         delta_e = p_l - x
         dist2_e = jnp.maximum(vec.length_squared(delta_e), 1e-12)
         dist_e = jnp.sqrt(dist2_e)
         wi_e = delta_e / dist_e[..., None]
         cos_l = vec.dot(n_l, -wi_e)
-        mat_tri = g.tri_mat[ti]
-        if g.num_spheres:
-            mat_sph = g.sph_mat[jnp.clip(prim - num_tri, 0, g.num_spheres - 1)]
-            emat = jnp.where(is_tri, mat_tri, mat_sph)
-        else:
-            emat = mat_tri
-        emitted = scene.materials.albedo[emat]
+        emitted = erow[..., 12:15]
         rad_e = jnp.where((cos_l > 0.0)[..., None], emitted, 0.0)
         pdf_e = dist2_e / jnp.maximum(jnp.abs(cos_l) * area, 1e-12)
         target_e = prim
@@ -382,17 +362,8 @@ def sample_light(scene: PreparedScene, record, x, u2) -> LightSample:
 def area_light_pdf(scene: PreparedScene, prim, origin, point, geo_normal, direction):
     """Solid-angle pdf of NEE having sampled `direction` toward the emissive
     `prim` hit at `point` (reference PreparedScene.ProbabilityDensity)."""
-    g = scene.geometry
-    num_tri = g.num_triangles
     prim_c = jnp.maximum(prim, 0)
-    is_tri = prim_c < num_tri
-    ti = jnp.clip(prim_c, 0, max(num_tri - 1, 0))
-    area_tri = 0.5 * vec.length(jnp.cross(g.tri_e1[ti], g.tri_e2[ti]))
-    if g.num_spheres:
-        si = jnp.clip(prim_c - num_tri, 0, g.num_spheres - 1)
-        area = jnp.where(is_tri, area_tri, 4.0 * jnp.pi * g.sph_radius[si] ** 2)
-    else:
-        area = area_tri
+    area = scene.shade_pack[prim_c, 19]  # precomputed per-prim area
     delta = point - origin
     dist2 = jnp.maximum(vec.length_squared(delta), 1e-12)
     cos_l = jnp.abs(vec.dot(geo_normal, direction))

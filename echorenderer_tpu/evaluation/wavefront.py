@@ -38,10 +38,6 @@ from .integrators import (
     DIM_LIGHT_SAMPLE,
     DIM_LOBE,
     DIM_RR,
-    STRAT_BSDF,
-    STRAT_LIGHT_PICK,
-    STRAT_LIGHT_SAMPLE,
-    STRAT_LOBE,
     _offset_origin,
     _power_heuristic,
 )
@@ -154,22 +150,16 @@ def sample_frame_wavefront(
         wo = -st["d"]
         tangent, bitangent = vec.orthonormal_frame(contact.shade_normal)
         wo_local = vec.to_local(wo, tangent, bitangent, contact.shade_normal)
-        is_first = st["depth"] == 0
+        # every draw comes from the low-discrepancy R2 stream keyed by
+        # (pixel, sample, bounce-dim): stratification at EVERY bounce (the
+        # reference stratifies all dims of a sample too) and exactly one
+        # hash per draw — half the cost of a dual stratified/white scheme
         dim = BOUNCE_DIM_STRIDE * st["depth"]
-
-        def draw1(strat_dim, off):
-            return jnp.where(is_first, stream.next_1d(strat_dim), stream.white_1d(dim + off))
-
-        def draw2(strat_dim, off):
-            return jnp.where(
-                is_first[..., None], stream.next_2d(strat_dim), stream.white_2d(dim + off)
-            )
-
-        u_bsdf = draw2(STRAT_BSDF, DIM_BSDF)
-        u_lobe = draw1(STRAT_LOBE, DIM_LOBE)
-        u_pick = draw1(STRAT_LIGHT_PICK, DIM_LIGHT_PICK)
-        u_light = draw2(STRAT_LIGHT_SAMPLE, DIM_LIGHT_SAMPLE)
-        u_rr = stream.white_1d(dim + DIM_RR)
+        u_bsdf = stream.next_2d(dim + DIM_BSDF)
+        u_lobe = stream.next_1d(dim + DIM_LOBE)
+        u_pick = stream.next_1d(dim + DIM_LIGHT_PICK)
+        u_light = stream.next_2d(dim + DIM_LIGHT_SAMPLE)
+        u_rr = stream.next_1d(dim + DIM_RR)
 
         bs = bsdf_mod.sample(contact.material, wo_local, u_bsdf, u_lobe)
         cos_i = jnp.abs(bs.incident[..., 2])

@@ -105,9 +105,9 @@ class LightTable(NamedTuple):
 
 
 # finite-light count above which the Estevez-Kulla tree replaces the flat
-# power CDF (the reference always builds its LightTree; small scenes don't
-# benefit and the flat CDF costs one gather)
-LIGHT_TREE_THRESHOLD = 8
+# power CDF. The tree descent costs ~30x a flat CDF pick per wave on TPU,
+# so it only pays where the flat pick's variance hurts: many lights
+LIGHT_TREE_THRESHOLD = 64
 
 
 class PreparedScene(NamedTuple):
@@ -121,6 +121,15 @@ class PreparedScene(NamedTuple):
     env_maps: tuple  # tuple of prepared directional textures (pytree'd)
     tex_atlas: jax.Array  # (T, R, R, 4) resampled albedo textures
     prim_soa: object  # PrimSoA kernel layout (ops/pallas_intersect.py)
+    # packed per-prim shading rows: one gather fetches everything `interact`
+    # needs (the TPU analogue of the reference's contiguous PreparedTriangle)
+    # tri: [geo_n(3) n0(3) n1(3) n2(3) uv0(2) uv1(2) uv2(2) mat area 0]
+    # sph: [center(3) radius .. mat area 1]
+    shade_pack: jax.Array  # (P, 24) float32
+    # packed material rows: [albedo(3) params(4) extra(3) type tex one_sided]
+    mat_pack: jax.Array  # (M, 16) float32
+    # packed emissive-light rows: [v0(3) e1(3) e2(3) n(3) albedo(3) area is_sph]
+    emissive_pack: jax.Array  # (Le, 20) float32
 
 
 # resolution each albedo texture is resampled to in the device atlas; a
@@ -466,6 +475,54 @@ def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene
         albedo_tex=jnp.asarray(mtex),
         present=tuple(sorted(int(t) for t in np.unique(mtypes))),
     )
+    # --- packed shading rows (single-gather interact) ---
+    shade = np.zeros((num_prims, 24), np.float32)
+    gn = np.cross(geom_np["tri_e1"], geom_np["tri_e2"])
+    tri_area2 = np.linalg.norm(gn, axis=-1)
+    gn = gn / np.maximum(tri_area2[:, None], 1e-20)
+    shade[:num_tris, 0:3] = gn
+    shade[:num_tris, 3:6] = geom_np["tri_n0"]
+    shade[:num_tris, 6:9] = geom_np["tri_n1"]
+    shade[:num_tris, 9:12] = geom_np["tri_n2"]
+    shade[:num_tris, 12:14] = geom_np["tri_uv0"]
+    shade[:num_tris, 14:16] = geom_np["tri_uv1"]
+    shade[:num_tris, 16:18] = geom_np["tri_uv2"]
+    shade[:num_tris, 18] = geom_np["tri_mat"]
+    shade[:num_tris, 19] = 0.5 * tri_area2
+    if num_prims > num_tris:
+        shade[num_tris:, 0:3] = geom_np["sph_center"]
+        shade[num_tris:, 3] = geom_np["sph_radius"]
+        shade[num_tris:, 18] = geom_np["sph_mat"]
+        shade[num_tris:, 19] = 4.0 * np.pi * geom_np["sph_radius"] ** 2
+        shade[num_tris:, 20] = 1.0
+
+    mat_pack = np.zeros((len(materials), 16), np.float32)
+    mat_pack[:, 0:3] = malbedo
+    mat_pack[:, 3:7] = mparams
+    mat_pack[:, 7:10] = mextra
+    mat_pack[:, 10] = mtypes
+    mat_pack[:, 11] = mtex
+    mat_pack[:, 12] = mone
+
+    epack = np.zeros((max(len(emissive_prims), 1), 20), np.float32)
+    for i, (p, _) in enumerate(emissive_prims):
+        if p < num_tris:
+            epack[i, 0:3] = geom_np["tri_v0"][p]
+            epack[i, 3:6] = geom_np["tri_e1"][p]
+            epack[i, 6:9] = geom_np["tri_e2"][p]
+            epack[i, 9:12] = gn[p]
+            epack[i, 15] = 0.5 * tri_area2[p]
+        else:
+            s = p - num_tris
+            epack[i, 0:3] = geom_np["sph_center"][s]
+            epack[i, 3] = geom_np["sph_radius"][s]
+            epack[i, 15] = 4.0 * np.pi * float(geom_np["sph_radius"][s]) ** 2
+            epack[i, 16] = 1.0
+        mi = geom_np["tri_mat"][p] if p < num_tris else geom_np["sph_mat"][p - num_tris]
+        epack[i, 12:15] = malbedo[mi]
+    if not emissive_prims:
+        epack = epack[:0]
+
     return PreparedScene(
         geometry=geometry,
         bvh=bvh,
@@ -475,4 +532,7 @@ def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene
         env_maps=tuple(env_maps),
         tex_atlas=jnp.asarray(tex_atlas),
         prim_soa=build_prim_soa(geometry),
+        shade_pack=jnp.asarray(shade),
+        mat_pack=jnp.asarray(mat_pack),
+        emissive_pack=jnp.asarray(epack),
     )

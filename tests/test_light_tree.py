@@ -81,7 +81,7 @@ class TestSceneIntegration:
         from echorenderer_tpu.processes.render import _sample_frame
         from echorenderer_tpu.scene.prepare import prepare_scene
 
-        prepared = prepare_scene(scenes.many_lights(count=24))
+        prepared = prepare_scene(scenes.many_lights(count=80))
         assert prepared.lights.tree is not None
         s_sum, s_sq = jax.jit(
             lambda sc: _sample_frame(sc, "path", (16, 12), 0, jnp.uint32(0), 2, 4, 2.5)
