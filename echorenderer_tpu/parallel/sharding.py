@@ -59,10 +59,20 @@ def _sample_pixels(scene, pixel_id, px, py, seed, sample_start, count, resolutio
     identical math on every shard, no cross-chip communication."""
     from ..processes.render import AOV_CHANNELS, EVALUATORS
 
-    fn = EVALUATORS[evaluator]
-    channels = AOV_CHANNELS[evaluator]
     n = pixel_id.shape[0]
     pixel_xy = jnp.stack([px, py], axis=-1)
+
+    if evaluator == "path":  # production wavefront integrator
+        from ..evaluation.wavefront import sample_frame_wavefront
+
+        return sample_frame_wavefront(
+            scene, pixel_id, pixel_xy, resolution,
+            seed, jnp.asarray(sample_start, jnp.uint32), count,
+            bounce_limit=bounce_limit, survivability=survivability,
+        )
+
+    fn = EVALUATORS[evaluator]
+    channels = AOV_CHANNELS[evaluator]
 
     def one_sample(i, carry):
         s_sum, s_sq = carry
@@ -74,13 +84,13 @@ def _sample_pixels(scene, pixel_id, px, py, seed, sample_start, count, resolutio
         shift = stream.next_2d(0)
         lens = stream.next_2d(1)
         o, d = spawn_rays(scene.camera, pixel_xy, shift, lens, resolution)
-        if evaluator == "path":
+        if evaluator == "path_lockstep":
             value = fn(scene, stream, o, d, bounce_limit=bounce_limit, survivability=survivability)
         elif evaluator == "naive":
             value = fn(scene, stream, o, d, bounce_limit=bounce_limit)
         else:
             value = fn(scene, stream, o, d)
-        if evaluator in ("path", "naive"):
+        if evaluator in ("path_lockstep", "naive"):
             value = jnp.nan_to_num(value, nan=0.0, posinf=0.0, neginf=0.0)
         return s_sum + value, s_sq + value * value
 

@@ -1,0 +1,96 @@
+"""Integrator consistency tests — the golden-validation strategy the
+reference relies on (StandardNaiveEvaluator as ground truth for the
+MIS/NEE machinery, SURVEY.md §4 'what is not tested' remediation)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from echorenderer_tpu.models import scenes
+from echorenderer_tpu.processes.render import (
+    EvaluationProfile,
+    _sample_frame_jit,
+    render_layer,
+)
+from echorenderer_tpu.scene.prepare import prepare_scene
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return prepare_scene(scenes.cornell_box())
+
+
+def _mean_image(scene, evaluator, res, spp, bounce=6, seed=0):
+    s_sum, _ = _sample_frame_jit(
+        scene, evaluator, res, seed, jnp.asarray(0, jnp.uint32), spp, bounce, 2.5
+    )
+    return np.asarray(s_sum) / spp
+
+
+class TestEstimatorConsistency:
+    def test_path_matches_naive(self, cornell):
+        """NEE+MIS path tracing and brute-force naive tracing estimate the
+        same radiance field — the central correctness property of the MIS
+        machinery (validates pick/sample/pmf bookkeeping end to end)."""
+        res = (24, 18)
+        a = _mean_image(cornell, "path", res, spp=160, bounce=4)
+        b = _mean_image(cornell, "naive", res, spp=640, bounce=4)
+        # compare per-image means (naive has high variance per pixel)
+        np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.05)
+        # and spatial structure: correlation of pixel intensities
+        ca = a.mean(-1) - a.mean()
+        cb = b.mean(-1) - b.mean()
+        corr = (ca * cb).sum() / np.sqrt((ca * ca).sum() * (cb * cb).sum())
+        assert corr > 0.85
+
+    def test_wavefront_matches_lockstep(self, cornell):
+        """Path regeneration must not change the estimator's expectation."""
+        res = (24, 18)
+        a = _mean_image(cornell, "path", res, spp=96, bounce=6)
+        b = _mean_image(cornell, "path_lockstep", res, spp=96, bounce=6)
+        np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.05)
+
+    def test_deterministic_across_runs(self, cornell):
+        res = (16, 12)
+        a = _mean_image(cornell, "path", res, spp=4)
+        b = _mean_image(cornell, "path", res, spp=4)
+        np.testing.assert_array_equal(a, b)
+
+
+class TestAdaptiveSampling:
+    def test_noise_monotone_decreasing(self, cornell):
+        """More epochs -> lower Welford noise metric (the adaptive
+        termination signal, EvaluationOperation.cs:137)."""
+        noises = []
+
+        def progress(epoch, max_epoch, noise, **kw):
+            noises.append(noise)
+
+        render_layer(
+            cornell,
+            EvaluationProfile(
+                evaluator="path", samples_per_epoch=8, min_epoch=4, max_epoch=4,
+                noise_threshold=0.0, bounce_limit=4,
+            ),
+            (16, 12),
+            progress=progress,
+        )
+        assert len(noises) == 4
+        assert noises[-1] < noises[0]
+
+    def test_threshold_stops_early(self, cornell):
+        calls = []
+
+        def progress(epoch, max_epoch, noise, **kw):
+            calls.append(epoch)
+
+        _, info = render_layer(
+            cornell,
+            EvaluationProfile(
+                evaluator="path", samples_per_epoch=16, min_epoch=1, max_epoch=50,
+                noise_threshold=10.0, bounce_limit=4,  # absurdly lax: stop at 1
+            ),
+            (16, 12),
+            progress=progress,
+        )
+        assert info["epochs"] == 1

@@ -1,0 +1,55 @@
+"""Multi-chip SPMD tests on the virtual CPU mesh: chip-count invariance
+(SURVEY.md §4 — the analogue of 'multi-node without a real cluster')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from echorenderer_tpu.models import scenes
+from echorenderer_tpu.parallel import make_mesh, render_epoch_sharded
+from echorenderer_tpu.scene.prepare import prepare_scene
+
+
+@pytest.fixture(scope="module")
+def prepared():
+    return prepare_scene(scenes.cornell_box())
+
+
+RES = (32, 24)
+
+
+class TestChipCountInvariance:
+    def test_1_vs_8_shards_bit_identical(self, prepared):
+        """The image must not depend on the shard count: RNG is keyed by
+        absolute pixel id (the reference's scheduling-independent sample
+        streams, ContinuousDistribution.cs)."""
+        mesh1 = make_mesh(1)
+        mesh8 = make_mesh(8)
+        a, a2, na = render_epoch_sharded(mesh1, prepared, RES, 0, 0, 2, bounce_limit=4)
+        b, b2, nb = render_epoch_sharded(mesh8, prepared, RES, 0, 0, 2, bounce_limit=4)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
+
+    def test_psum_counts_all_samples(self, prepared):
+        mesh8 = make_mesh(8)
+        _, _, n = render_epoch_sharded(mesh8, prepared, RES, 0, 0, 2, bounce_limit=4)
+        padded = -(-RES[0] * RES[1] // 8) * 8
+        assert float(np.asarray(n)[0]) == padded * 2
+
+    def test_matches_single_chip_renderer(self, prepared):
+        """Sharded output equals the unsharded _sample_frame path."""
+        from echorenderer_tpu.processes.render import _sample_frame_jit
+
+        mesh8 = make_mesh(8)
+        a, _, _ = render_epoch_sharded(mesh8, prepared, RES, 0, 0, 2, bounce_limit=4)
+        b, _ = _sample_frame_jit(
+            prepared, "path", RES, 0, jnp.asarray(0, jnp.uint32), 2, 4, 2.5
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_seed_changes_image(self, prepared):
+        mesh8 = make_mesh(8)
+        a, _, _ = render_epoch_sharded(mesh8, prepared, RES, 0, 0, 2, bounce_limit=4)
+        c, _, _ = render_epoch_sharded(mesh8, prepared, RES, 7, 0, 2, bounce_limit=4)
+        assert np.abs(np.asarray(a) - np.asarray(c)).max() > 0.0
