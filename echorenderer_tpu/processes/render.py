@@ -200,9 +200,16 @@ def render_layer(
                 progress(
                     epoch + 1, profile.max_epoch, noise,
                     layer=profile.layer_name, samples=total_samples,
+                    image=np.asarray(acc.mean).reshape(height, width, channels),
                 )
-            except TypeError:  # simple (epoch, max, noise) callbacks
-                progress(epoch + 1, profile.max_epoch, noise)
+            except TypeError:  # simpler callback signatures
+                try:
+                    progress(
+                        epoch + 1, profile.max_epoch, noise,
+                        layer=profile.layer_name, samples=total_samples,
+                    )
+                except TypeError:
+                    progress(epoch + 1, profile.max_epoch, noise)
         if epoch + 1 >= profile.min_epoch and noise < profile.noise_threshold:
             break
 

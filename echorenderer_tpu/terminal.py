@@ -44,6 +44,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--camera", default=None, help="camera name to render from")
     ap.add_argument("-u", "--utilization", type=float, default=None, help="accepted for reference parity; ignored (XLA owns the chip)")
     ap.add_argument("--no-compose", action="store_true", help="skip the composition stack")
+    ap.add_argument("--preview", type=int, nargs="?", const=8000, default=None,
+                    help="serve a live preview dashboard on this port (GUI analogue)")
     return ap
 
 
@@ -140,8 +142,26 @@ def main(argv=None) -> int:
     )
 
     monitor = ConsoleMonitor()
-    out = render(prepared, prof, progress=monitor)
+    server = None
+    if args.preview is not None:
+        from .ui.preview import PreviewServer, PreviewState
+
+        state = PreviewState()
+        server = PreviewServer(state, host="0.0.0.0", port=args.preview).start()
+        print(f"live preview: http://localhost:{server.port}/", file=sys.stderr)
+
+        def progress(epoch, max_epoch, noise, layer="main", samples=0, image=None):
+            monitor(epoch, max_epoch, noise, layer=layer, samples=samples)
+            state.publish_status(layer=layer, epoch=epoch, max_epoch=max_epoch,
+                                 noise=round(noise, 5), samples=samples)
+            if image is not None:
+                state.publish_frame(image)
+    else:
+        progress = monitor
+    out = render(prepared, prof, progress=progress)
     monitor.finish()
+    if server is not None:
+        server.stop()
 
     infos = out.get("__info__", {})
     for layer, info in infos.items():

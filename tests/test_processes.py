@@ -1,0 +1,91 @@
+"""Process-layer tests: tile-pattern permutation invariants (reference
+TilePatternTests.cs: unique, in-bounds, complete) and checkpoint/resume."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from echorenderer_tpu.processes import tiles
+from echorenderer_tpu.processes.checkpoint import (
+    load_checkpoint,
+    resume_render_layer,
+    save_checkpoint,
+)
+from echorenderer_tpu.utils import accumulator as acc_mod
+
+
+@pytest.mark.parametrize("name", list(tiles.PATTERNS))
+@pytest.mark.parametrize("nx,ny", [(1, 1), (4, 4), (5, 3), (8, 2), (7, 7)])
+class TestTilePatterns:
+    def test_permutation(self, name, nx, ny):
+        """Every pattern emits each tile exactly once, in bounds
+        (reference TilePatternTests.cs:9-32)."""
+        seq = tiles.PATTERNS[name](nx, ny)
+        assert seq.shape == (nx * ny, 2)
+        assert (seq[:, 0] >= 0).all() and (seq[:, 0] < nx).all()
+        assert (seq[:, 1] >= 0).all() and (seq[:, 1] < ny).all()
+        flat = seq[:, 1] * nx + seq[:, 0]
+        assert len(np.unique(flat)) == nx * ny
+
+
+class TestPatternCharacter:
+    def test_spiral_starts_at_center(self):
+        seq = tiles.spiral(9, 9)
+        np.testing.assert_array_equal(seq[0], [4, 4])
+
+    def test_checkerboard_parity_split(self):
+        seq = tiles.checkerboard(4, 4)
+        parity = (seq[:, 0] + seq[:, 1]) % 2
+        assert (parity[:8] == 0).all() and (parity[8:] == 1).all()
+
+    def test_scrambled_deterministic(self):
+        a = tiles.scrambled(6, 6, seed=3)
+        b = tiles.scrambled(6, 6, seed=3)
+        np.testing.assert_array_equal(a, b)
+        c = tiles.scrambled(6, 6, seed=4)
+        assert not np.array_equal(a, c)
+
+    def test_hilbert_locality(self):
+        """Consecutive Hilbert tiles are adjacent (curve property)."""
+        seq = tiles.hilbert(8, 8)
+        steps = np.abs(np.diff(seq, axis=0)).sum(-1)
+        assert (steps == 1).all()
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        acc = acc_mod.create((12,), channels=3)
+        acc = acc_mod.add(acc, jnp.ones((12, 3)) * 2.0)
+        p = tmp_path / "c.npz"
+        save_checkpoint(p, acc, epoch=3, seed=9, resolution=(4, 3))
+        back, meta = load_checkpoint(p)
+        np.testing.assert_array_equal(np.asarray(back.mean), np.asarray(acc.mean))
+        np.testing.assert_array_equal(np.asarray(back.count), np.asarray(acc.count))
+        assert meta["epoch"] == 3 and meta["seed"] == 9
+
+    def test_resume_equals_uninterrupted(self, tmp_path):
+        """Interrupting after 1 epoch and resuming must produce exactly the
+        image of an uninterrupted run — the determinism contract."""
+        from echorenderer_tpu.models import scenes
+        from echorenderer_tpu.processes.render import EvaluationProfile
+        from echorenderer_tpu.scene.prepare import prepare_scene
+
+        scene = prepare_scene(scenes.cornell_box())
+        res = (12, 8)
+        prof1 = EvaluationProfile(
+            evaluator="path", samples_per_epoch=4, min_epoch=1, max_epoch=1,
+            noise_threshold=0.0, bounce_limit=4,
+        )
+        prof3 = EvaluationProfile(
+            evaluator="path", samples_per_epoch=4, min_epoch=3, max_epoch=3,
+            noise_threshold=0.0, bounce_limit=4,
+        )
+        # interrupted: 1 epoch then resume to 3
+        cp = tmp_path / "resume.npz"
+        resume_render_layer(scene, prof1, res, cp)
+        img_resumed, info = resume_render_layer(scene, prof3, res, cp)
+        assert info["epochs"] == 3
+        # uninterrupted: 3 epochs straight
+        cp2 = tmp_path / "straight.npz"
+        img_straight, _ = resume_render_layer(scene, prof3, res, cp2)
+        np.testing.assert_allclose(img_resumed, img_straight, atol=1e-6)
