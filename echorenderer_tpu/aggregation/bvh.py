@@ -64,14 +64,30 @@ class FlatBVH(NamedTuple):
 
 
 def build_bvh(aabb_min: np.ndarray, aabb_max: np.ndarray, leaf_max: int = LEAF_MAX) -> FlatBVH:
-    """Full-sweep SAH build over primitive AABBs (host, numpy).
+    """Full-sweep SAH build over primitive AABBs (host).
 
     Follows the reference strategy (Acceleration/SweepBuilder.cs): sort by
     centroid on the major axis of the centroid bounds, scan prefix/suffix
-    surface areas, split at the minimum SAH cost.
+    surface areas, split at the minimum SAH cost. Uses the native C++
+    builder (native/bvh_builder.cpp) when available — the host-side hot
+    path for multi-million-triangle scenes — with this numpy
+    implementation as the fallback and the correctness oracle.
     """
     aabb_min = np.asarray(aabb_min, np.float32)
     aabb_max = np.asarray(aabb_max, np.float32)
+
+    from ..native import build_bvh_native
+
+    native = build_bvh_native(aabb_min, aabb_max, leaf_max)
+    if native is not None:
+        cmin, cmax, ccode, order, root = native
+        return FlatBVH(
+            child_min=jnp.asarray(cmin),
+            child_max=jnp.asarray(cmax),
+            child_code=jnp.asarray(ccode),
+            prim_order=jnp.asarray(order),
+            root_code=jnp.asarray(root, jnp.int32),
+        )
     n = aabb_min.shape[0]
     assert n > 0
     centroids = (aabb_min + aabb_max) * 0.5
