@@ -133,6 +133,18 @@ def interact(scene: PreparedScene, hit: Hit, o, d) -> Contact:
         tid = mrow[..., 11].astype(jnp.int32)
         tex_rgb = _sample_atlas(scene.tex_atlas, jnp.maximum(tid, 0), uv_out)
         albedo = jnp.where((tid >= 0)[..., None], tex_rgb, albedo)
+        # tangent-space normal mapping (reference Material.Scatter applies
+        # Normal/NormalIntensity, Evaluation/Materials/Material.cs:57)
+        ntid = mrow[..., 13].astype(jnp.int32)
+        tn = _sample_atlas(scene.tex_atlas, jnp.maximum(ntid, 0), uv_out) * 2.0 - 1.0
+        intensity = mrow[..., 14:15]
+        t_, b_ = vec.orthonormal_frame(shade_n)
+        perturbed = vec.normalize(
+            t_ * tn[..., 0:1] * intensity
+            + b_ * tn[..., 1:2] * intensity
+            + shade_n * jnp.maximum(tn[..., 2:3], 0.1)
+        )
+        shade_n = jnp.where((ntid >= 0)[..., None], perturbed, shade_n)
     material = GatheredMaterial(
         type=mrow[..., 10].astype(jnp.int32),
         albedo=albedo,

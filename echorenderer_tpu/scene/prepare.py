@@ -285,19 +285,29 @@ def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene
     mextra = np.stack([m.extra_color() for m, _ in materials], 0)
     mone = np.asarray([os for _, os in materials], np.int32)
 
-    # albedo texture atlas: dedupe textures, resample each to ATLAS_RES
+    # texture atlas: dedupe albedo + normal-map textures, resample each to
+    # ATLAS_RES (normal maps share the atlas; ids disambiguate)
     mtex = np.full(len(materials), -1, np.int32)
+    mntex = np.full(len(materials), -1, np.int32)
+    mnint = np.zeros(len(materials), np.float32)
     atlas_slices: list[np.ndarray] = []
     tex_ids: dict[int, int] = {}
-    for mi, (m, _) in enumerate(materials):
-        tex = m.albedo_texture() if hasattr(m, "albedo_texture") else None
-        if tex is None:
-            continue
+
+    def intern_tex(tex) -> int:
         key = id(tex)
         if key not in tex_ids:
             tex_ids[key] = len(atlas_slices)
             atlas_slices.append(_resample_texture(tex))
-        mtex[mi] = tex_ids[key]
+        return tex_ids[key]
+
+    for mi, (m, _) in enumerate(materials):
+        tex = m.albedo_texture() if hasattr(m, "albedo_texture") else None
+        if tex is not None:
+            mtex[mi] = intern_tex(tex)
+        ntex = getattr(m, "normal", None)
+        if ntex is not None and hasattr(ntex, "data"):
+            mntex[mi] = intern_tex(ntex)
+            mnint[mi] = float(getattr(m, "normal_intensity", 1.0))
     tex_atlas = (
         np.stack(atlas_slices, 0)
         if atlas_slices
@@ -503,6 +513,8 @@ def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene
     mat_pack[:, 10] = mtypes
     mat_pack[:, 11] = mtex
     mat_pack[:, 12] = mone
+    mat_pack[:, 13] = mntex  # normal-map atlas id or -1
+    mat_pack[:, 14] = mnint  # normal-map intensity
 
     epack = np.zeros((max(len(emissive_prims), 1), 20), np.float32)
     for i, (p, _) in enumerate(emissive_prims):
