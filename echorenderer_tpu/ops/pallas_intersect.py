@@ -11,8 +11,8 @@ HBM (~15 temporaries for Möller-Trumbore), so it runs at ~1% of VPU peak.
 This kernel tiles the computation: a block of BR rays stays resident in
 VMEM while primitive chunks of BP stream past; all intermediates live in
 registers/VMEM and only the running best-hit (BR, 1) columns are carried.
-Rays sit on sublanes, primitives on lanes — the same orientation as a
-flash-attention kernel's (q, k) tiles.
+Primitives sit on sublanes, rays on lanes (prim rows transpose per
+chunk — the only relayout direction Mosaic supports here).
 
 Scenes up to ~16k primitives keep the whole primitive SoA VMEM-resident
 (the common case for every reference benchmark scene); larger scenes fall
@@ -36,8 +36,8 @@ from .intersect import INF, FlatGeometry, Hit, sphere_uv
 _INF = 3.4e38  # python floats: jnp scalars would be captured consts in the kernel
 _EPS = 2.4e-4  # RAY_EPSILON
 
-RAY_BLOCK = 512  # rays per grid step (sublane axis)
-PRIM_BLOCK = 256  # primitives per inner chunk (lane axis)
+RAY_BLOCK = 1024  # rays per grid step (sublane axis), laid out (G, 8, 128)
+PRIM_BLOCK = 128  # primitives per inner chunk (lane axis)
 VMEM_PRIM_LIMIT = 16384  # max padded prims kept VMEM-resident
 
 
@@ -119,12 +119,15 @@ jax.tree_util.register_pytree_node(
 
 def _chunk_hits(prims, k, ox, oy, oz, dx, dy, dz, ignore_f):
     """Intersect the ray block against prim chunk k. Returns (t, u, v)
-    as (BR, BP) with t = INF where invalid."""
+    as (BP, BR) — prims on sublanes, rays on lanes — with t = INF where
+    invalid. Prim rows transpose (1, BP) -> (BP, 1) here (the only
+    relayout Mosaic supports for this orientation)."""
     sl = pl.ds(k * PRIM_BLOCK, PRIM_BLOCK)
-    ax, ay, az = prims.ax[:, sl], prims.ay[:, sl], prims.az[:, sl]
-    bx, by, bz = prims.bx[:, sl], prims.by[:, sl], prims.bz[:, sl]
-    cx, cy, cz = prims.cx[:, sl], prims.cy[:, sl], prims.cz[:, sl]
-    sph = prims.is_sphere[:, sl]
+    tr = lambda r: jnp.transpose(r[:, sl])
+    ax, ay, az = tr(prims.ax), tr(prims.ay), tr(prims.az)
+    bx, by, bz = tr(prims.bx), tr(prims.by), tr(prims.bz)
+    cx, cy, cz = tr(prims.cx), tr(prims.cy), tr(prims.cz)
+    sph = tr(prims.is_sphere)
 
     # --- Möller-Trumbore, fully scalarized per component ---
     # p = d × e2
@@ -169,31 +172,38 @@ def _chunk_hits(prims, k, ox, oy, oz, dx, dy, dz, ignore_f):
     # logical compose, not select: Mosaic can't select between i1 vectors
     ok = (is_sph & sph_ok) | (~is_sph & tri_ok)
 
-    # prim ids + ignore mask
-    pid = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1).astype(jnp.float32) + (
+    # prim ids + ignore mask (prims are axis 0 in this orientation)
+    pid = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0).astype(jnp.float32) + (
         k * PRIM_BLOCK
     ).astype(jnp.float32)
     ok &= pid != ignore_f
     return jnp.where(ok, t, _INF), u, v, pid
 
 
+def _row(ref):
+    """Read a (1, 8, 128) ray block as a (1, RAY_BLOCK) lane row. Ray
+    arrays live as (G, 8, 128) in HBM — a dense (8, 128) tile per block,
+    no padding."""
+    return ref[:].reshape(1, -1)
+
+
 def _trace_kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r, ign_r,
                   *prim_refs, t_out, prim_out, u_out, v_out, num_chunks):
     prims = PrimSoA(*prim_refs, 0, 0)
-    ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
-    dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
-    ignore_f = ign_r[:]
+    ox, oy, oz = _row(ox_r), _row(oy_r), _row(oz_r)
+    dx, dy, dz = _row(dx_r), _row(dy_r), _row(dz_r)
+    ignore_f = _row(ign_r)
 
     def body(k, carry):
         best_t, best_p, best_u, best_v = carry
         t, u, v, pid = _chunk_hits(prims, k, ox, oy, oz, dx, dy, dz, ignore_f)
-        tm = jnp.min(t, axis=1, keepdims=True)
+        tm = jnp.min(t, axis=0, keepdims=True)  # (1, BR)
         closer = tm < best_t
         # argmin via masked id reduction
         sel = t <= tm
-        pm = jnp.min(jnp.where(sel, pid, 3.4e38), axis=1, keepdims=True)
-        um = jnp.sum(jnp.where(sel & (pid == pm), u, 0.0), axis=1, keepdims=True)
-        vm = jnp.sum(jnp.where(sel & (pid == pm), v, 0.0), axis=1, keepdims=True)
+        pm = jnp.min(jnp.where(sel, pid, 3.4e38), axis=0, keepdims=True)
+        um = jnp.sum(jnp.where(sel & (pid == pm), u, 0.0), axis=0, keepdims=True)
+        vm = jnp.sum(jnp.where(sel & (pid == pm), v, 0.0), axis=0, keepdims=True)
         return (
             jnp.where(closer, tm, best_t),
             jnp.where(closer, pm, best_p),
@@ -202,41 +212,45 @@ def _trace_kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r, ign_r,
         )
 
     init = (
-        tmax_r[:],
+        _row(tmax_r),
         jnp.full(ox.shape, -1.0, jnp.float32),
         jnp.zeros(ox.shape, jnp.float32),
         jnp.zeros(ox.shape, jnp.float32),
     )
     best_t, best_p, best_u, best_v = jax.lax.fori_loop(0, num_chunks, body, init)
-    t_out[:] = best_t
-    prim_out[:] = best_p
-    u_out[:] = best_u
-    v_out[:] = best_v
+    t_out[:] = best_t.reshape(1, 8, 128)
+    prim_out[:] = best_p.reshape(1, 8, 128)
+    u_out[:] = best_u.reshape(1, 8, 128)
+    v_out[:] = best_v.reshape(1, 8, 128)
 
 
 def _occlude_kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r, ign_r,
                     *prim_refs, out_ref, num_chunks):
     prims = PrimSoA(*prim_refs, 0, 0)
-    ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
-    dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
-    tmax = tmax_r[:]
-    ignore_f = ign_r[:]
+    ox, oy, oz = _row(ox_r), _row(oy_r), _row(oz_r)
+    dx, dy, dz = _row(dx_r), _row(dy_r), _row(dz_r)
+    tmax = _row(tmax_r)
+    ignore_f = _row(ign_r)
 
     def body(k, blocked):
         t, _, _, _ = _chunk_hits(prims, k, ox, oy, oz, dx, dy, dz, ignore_f)
-        hit = jnp.any(t < tmax, axis=1, keepdims=True)
+        hit = jnp.any(t < tmax, axis=0, keepdims=True)
         return jnp.where(hit, 1.0, blocked)
 
-    out_ref[:] = jax.lax.fori_loop(0, num_chunks, body, jnp.zeros(ox.shape, jnp.float32))
+    out_ref[:] = jax.lax.fori_loop(
+        0, num_chunks, body, jnp.zeros(ox.shape, jnp.float32)
+    ).reshape(1, 8, 128)
 
 
 def _ray_cols(o, d, t_max, ignore, n_pad):
     n = o.shape[0]
 
     def col(x, fill=0.0):
+        """(n,) -> (n_pad/BR, BR): dense lane-major blocks, no tile padding."""
         x = jnp.asarray(x, jnp.float32)
         x = jnp.broadcast_to(x, (n,))
-        return jnp.pad(x, (0, n_pad - n), constant_values=fill)[:, None]
+        x = jnp.pad(x, (0, n_pad - n), constant_values=fill)
+        return x.reshape(-1, 8, 128)
 
     return (
         col(o[:, 0]), col(o[:, 1]), col(o[:, 2]),
@@ -248,13 +262,14 @@ def _ray_cols(o, d, t_max, ignore, n_pad):
 
 @functools.partial(jax.jit, static_argnames=("num_tris", "num_prims"))
 def _trace_call(cols, prim_rows, num_tris, num_prims):
-    n_pad = cols[0].shape[0]
+    g = cols[0].shape[0]  # ray blocks
+    n_pad = g * RAY_BLOCK
     padded_prims = prim_rows[0].shape[1]
     num_chunks = padded_prims // PRIM_BLOCK
-    grid = (n_pad // RAY_BLOCK,)
-    ray_spec = pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    grid = (g,)
+    ray_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     prim_spec = pl.BlockSpec((1, padded_prims), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_wrap_trace, num_chunks=num_chunks)
     t, p, u, v = pl.pallas_call(
@@ -262,10 +277,10 @@ def _trace_call(cols, prim_rows, num_tris, num_prims):
         grid=grid,
         in_specs=[ray_spec] * 8 + [prim_spec] * 10,
         out_specs=[out_spec] * 4,
-        out_shape=[jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((g, 8, 128), jnp.float32)] * 4,
         interpret=_interpret(),
     )(*cols, *prim_rows)
-    return t[:, 0], p[:, 0], u[:, 0], v[:, 0]
+    return t.reshape(-1), p.reshape(-1), u.reshape(-1), v.reshape(-1)
 
 
 def _wrap_trace(*refs, num_chunks):
@@ -284,22 +299,23 @@ def _wrap_occlude(*refs, num_chunks):
 
 @functools.partial(jax.jit, static_argnames=("num_tris", "num_prims"))
 def _occlude_call(cols, prim_rows, num_tris, num_prims):
-    n_pad = cols[0].shape[0]
+    g = cols[0].shape[0]  # ray blocks
+    n_pad = g * RAY_BLOCK
     padded_prims = prim_rows[0].shape[1]
     num_chunks = padded_prims // PRIM_BLOCK
-    grid = (n_pad // RAY_BLOCK,)
-    ray_spec = pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    grid = (g,)
+    ray_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     prim_spec = pl.BlockSpec((1, padded_prims), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     blocked = pl.pallas_call(
         functools.partial(_wrap_occlude, num_chunks=num_chunks),
         grid=grid,
         in_specs=[ray_spec] * 8 + [prim_spec] * 10,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
         interpret=_interpret(),
     )(*cols, *prim_rows)
-    return blocked[:, 0]
+    return blocked.reshape(-1)
 
 
 def intersect_pallas(geom: FlatGeometry, soa: PrimSoA, o, d, t_max, ignore) -> Hit:

@@ -120,14 +120,30 @@ def _sample_frame(scene: PreparedScene, evaluator: str, resolution, seed, sample
     pixel_xy = jnp.stack([px, py], axis=-1)
 
     if evaluator == "path":
-        # the production integrator: wavefront with path regeneration
+        # the production integrator: wavefront with path regeneration.
+        # CHAINS independent sample chains run per pixel in one wave —
+        # wider waves amortize fixed per-iteration costs and shrink the
+        # regeneration tail (fewer loop trips for the same sample count)
         from ..evaluation.wavefront import sample_frame_wavefront
 
-        return sample_frame_wavefront(
-            scene, pixel_id, pixel_xy, resolution,
-            seed, jnp.asarray(sample_start, jnp.uint32), count,
+        chains = 1
+        for k in (4, 2):
+            if count % k == 0 and n * k <= 4_194_304:
+                chains = k
+                break
+        rep = lambda a: jnp.tile(a, (chains,) + (1,) * (a.ndim - 1))
+        chain = jnp.repeat(
+            jnp.arange(chains, dtype=jnp.uint32) * (count // chains), n
+        )
+        s_sum, s_sq = sample_frame_wavefront(
+            scene, rep(pixel_id), rep(pixel_xy), resolution,
+            seed, jnp.asarray(sample_start, jnp.uint32) + chain, count // chains,
             bounce_limit=bounce_limit, survivability=survivability,
         )
+        if chains > 1:
+            s_sum = s_sum.reshape(chains, n, 3).sum(0)
+            s_sq = s_sq.reshape(chains, n, 3).sum(0)
+        return s_sum, s_sq
 
     fn = EVALUATORS[evaluator]
 
