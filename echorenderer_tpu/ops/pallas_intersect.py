@@ -36,9 +36,12 @@ from .intersect import INF, FlatGeometry, Hit, sphere_uv
 _INF = 3.4e38  # python floats: jnp scalars would be captured consts in the kernel
 _EPS = 2.4e-4  # RAY_EPSILON
 
-RAY_BLOCK = 1024  # rays per grid step (sublane axis), laid out (G, 8, 128)
-PRIM_BLOCK = 128  # primitives per inner chunk (lane axis)
-VMEM_PRIM_LIMIT = 16384  # max padded prims kept VMEM-resident
+RAY_BLOCK = 1024  # rays per grid step, laid out (G, 8, 128)
+PRIM_BLOCK = 128  # primitives per grid chunk (streamed HBM -> VMEM)
+# dense intersection cost grows linearly in prims; beyond this the
+# hierarchical path wins (the limit is compute, not VMEM — chunks stream)
+PALLAS_PRIM_LIMIT = 131072
+VMEM_PRIM_LIMIT = PALLAS_PRIM_LIMIT  # backwards-compat alias
 
 
 def _interpret() -> bool:
@@ -117,65 +120,74 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _chunk_hits(prims, k, ox, oy, oz, dx, dy, dz, ignore_f):
-    """Intersect the ray block against prim chunk k. Returns (t, u, v)
-    as (BP, BR) — prims on sublanes, rays on lanes — with t = INF where
-    invalid. Prim rows transpose (1, BP) -> (BP, 1) here (the only
-    relayout Mosaic supports for this orientation)."""
-    sl = pl.ds(k * PRIM_BLOCK, PRIM_BLOCK)
-    tr = lambda r: jnp.transpose(r[:, sl])
-    ax, ay, az = tr(prims.ax), tr(prims.ay), tr(prims.az)
-    bx, by, bz = tr(prims.bx), tr(prims.by), tr(prims.bz)
-    cx, cy, cz = tr(prims.cx), tr(prims.cy), tr(prims.cz)
-    sph = tr(prims.is_sphere)
+def _chunk_hits(prim_block, k_base, ox, oy, oz, dx, dy, dz, ignore_f,
+                has_tri, has_sph):
+    """Intersect the ray block against one (1, BP)-blocked prim chunk.
+    Returns (t, u, v, pid) as (BP, BR) — prims on sublanes, rays on lanes —
+    with t = INF where invalid. Prim rows transpose (1, BP) -> (BP, 1)
+    here (the only relayout Mosaic supports for this orientation). The
+    has_tri/has_sph flags are static per scene: single-type scenes skip
+    the other intersection entirely."""
+    tr = lambda r: jnp.transpose(r[:])
+    ax, ay, az = tr(prim_block[0]), tr(prim_block[1]), tr(prim_block[2])
+    bx, by, bz = tr(prim_block[3]), tr(prim_block[4]), tr(prim_block[5])
+    cx, cy, cz = tr(prim_block[6]), tr(prim_block[7]), tr(prim_block[8])
+    sph = tr(prim_block[9])
 
-    # --- Möller-Trumbore, fully scalarized per component ---
-    # p = d × e2
-    px = dy * cz - dz * cy
-    py = dz * cx - dx * cz
-    pz = dx * cy - dy * cx
-    det = bx * px + by * py + bz * pz
-    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
-    sx = ox - ax
-    sy = oy - ay
-    sz = oz - az
-    u = (sx * px + sy * py + sz * pz) * inv
-    # q = s × e1
-    qx = sy * bz - sz * by
-    qy = sz * bx - sx * bz
-    qz = sx * by - sy * bx
-    v = (dx * qx + dy * qy + dz * qz) * inv
-    t_tri = (cx * qx + cy * qy + cz * qz) * inv
-    tri_ok = (
-        (jnp.abs(det) > 1e-12)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
-        & (t_tri > _EPS)
-    )
+    t_tri = u = v = None
+    if has_tri:
+        # --- Möller-Trumbore, fully scalarized per component ---
+        px = dy * cz - dz * cy
+        py = dz * cx - dx * cz
+        pz = dx * cy - dy * cx
+        det = bx * px + by * py + bz * pz
+        inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
+        sx = ox - ax
+        sy = oy - ay
+        sz = oz - az
+        u = (sx * px + sy * py + sz * pz) * inv
+        qx = sy * bz - sz * by
+        qy = sz * bx - sx * bz
+        qz = sx * by - sy * bx
+        v = (dx * qx + dy * qy + dz * qz) * inv
+        t_tri = (cx * qx + cy * qy + cz * qz) * inv
+        tri_ok = (
+            (jnp.abs(det) > 1e-12)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t_tri > _EPS)
+        )
 
-    # --- sphere: a=center, bx=radius ---
-    fx = ox - ax
-    fy = oy - ay
-    fz = oz - az
-    bq = fx * dx + fy * dy + fz * dz
-    cq = fx * fx + fy * fy + fz * fz - bx * bx
-    disc = bq * bq - cq
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t_near = -bq - sq
-    t_far = -bq + sq
-    t_sph = jnp.where(t_near > _EPS, t_near, t_far)
-    sph_ok = (disc >= 0.0) & (t_sph > _EPS)
+    if has_sph:
+        # --- sphere: a=center, bx=radius ---
+        fx = ox - ax
+        fy = oy - ay
+        fz = oz - az
+        bq = fx * dx + fy * dy + fz * dz
+        cq = fx * fx + fy * fy + fz * fz - bx * bx
+        disc = bq * bq - cq
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_near = -bq - sq
+        t_far = -bq + sq
+        t_sph = jnp.where(t_near > _EPS, t_near, t_far)
+        sph_ok = (disc >= 0.0) & (t_sph > _EPS)
 
-    is_sph = sph > 0.5
-    t = jnp.where(is_sph, t_sph, t_tri)
-    # logical compose, not select: Mosaic can't select between i1 vectors
-    ok = (is_sph & sph_ok) | (~is_sph & tri_ok)
+    if has_tri and has_sph:
+        is_sph = sph > 0.5
+        t = jnp.where(is_sph, t_sph, t_tri)
+        # logical compose, not select: Mosaic can't select between i1 vectors
+        ok = (is_sph & sph_ok) | (~is_sph & tri_ok)
+    elif has_tri:
+        t, ok = t_tri, tri_ok
+    else:
+        t, ok = t_sph, sph_ok
+    if u is None:
+        u = jnp.zeros_like(t)
+        v = jnp.zeros_like(t)
 
     # prim ids + ignore mask (prims are axis 0 in this orientation)
-    pid = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0).astype(jnp.float32) + (
-        k * PRIM_BLOCK
-    ).astype(jnp.float32)
+    pid = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0).astype(jnp.float32) + k_base
     ok &= pid != ignore_f
     return jnp.where(ok, t, _INF), u, v, pid
 
@@ -188,58 +200,49 @@ def _row(ref):
 
 
 def _trace_kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r, ign_r,
-                  *prim_refs, t_out, prim_out, u_out, v_out, num_chunks):
-    prims = PrimSoA(*prim_refs, 0, 0)
+                  *prim_refs, t_out, prim_out, u_out, v_out, has_tri, has_sph):
+    j = pl.program_id(1)
     ox, oy, oz = _row(ox_r), _row(oy_r), _row(oz_r)
     dx, dy, dz = _row(dx_r), _row(dy_r), _row(dz_r)
     ignore_f = _row(ign_r)
 
-    def body(k, carry):
-        best_t, best_p, best_u, best_v = carry
-        t, u, v, pid = _chunk_hits(prims, k, ox, oy, oz, dx, dy, dz, ignore_f)
-        tm = jnp.min(t, axis=0, keepdims=True)  # (1, BR)
-        closer = tm < best_t
-        # argmin via masked id reduction
-        sel = t <= tm
-        pm = jnp.min(jnp.where(sel, pid, 3.4e38), axis=0, keepdims=True)
-        um = jnp.sum(jnp.where(sel & (pid == pm), u, 0.0), axis=0, keepdims=True)
-        vm = jnp.sum(jnp.where(sel & (pid == pm), v, 0.0), axis=0, keepdims=True)
-        return (
-            jnp.where(closer, tm, best_t),
-            jnp.where(closer, pm, best_p),
-            jnp.where(closer, um, best_u),
-            jnp.where(closer, vm, best_v),
-        )
+    k_base = (j * PRIM_BLOCK).astype(jnp.float32)
+    t, u, v, pid = _chunk_hits(prim_refs, k_base, ox, oy, oz, dx, dy, dz,
+                               ignore_f, has_tri, has_sph)
+    tm = jnp.min(t, axis=0, keepdims=True)  # (1, BR)
+    sel = t <= tm
+    pm = jnp.min(jnp.where(sel, pid, 3.4e38), axis=0, keepdims=True)
+    um = jnp.sum(jnp.where(sel & (pid == pm), u, 0.0), axis=0, keepdims=True)
+    vm = jnp.sum(jnp.where(sel & (pid == pm), v, 0.0), axis=0, keepdims=True)
 
-    init = (
-        _row(tmax_r),
-        jnp.full(ox.shape, -1.0, jnp.float32),
-        jnp.zeros(ox.shape, jnp.float32),
-        jnp.zeros(ox.shape, jnp.float32),
-    )
-    best_t, best_p, best_u, best_v = jax.lax.fori_loop(0, num_chunks, body, init)
-    t_out[:] = best_t.reshape(1, 8, 128)
-    prim_out[:] = best_p.reshape(1, 8, 128)
-    u_out[:] = best_u.reshape(1, 8, 128)
-    v_out[:] = best_v.reshape(1, 8, 128)
+    # running best lives in the output block, which Pallas keeps resident
+    # across the prim-chunk grid dimension (out index map ignores j)
+    first = j == 0
+    best_t = jnp.where(first, _row(tmax_r), t_out[:].reshape(1, -1))
+    best_p = jnp.where(first, -1.0, prim_out[:].reshape(1, -1))
+    best_u = jnp.where(first, 0.0, u_out[:].reshape(1, -1))
+    best_v = jnp.where(first, 0.0, v_out[:].reshape(1, -1))
+    closer = tm < best_t
+    t_out[:] = jnp.where(closer, tm, best_t).reshape(1, 8, 128)
+    prim_out[:] = jnp.where(closer, pm, best_p).reshape(1, 8, 128)
+    u_out[:] = jnp.where(closer, um, best_u).reshape(1, 8, 128)
+    v_out[:] = jnp.where(closer, vm, best_v).reshape(1, 8, 128)
 
 
 def _occlude_kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r, ign_r,
-                    *prim_refs, out_ref, num_chunks):
-    prims = PrimSoA(*prim_refs, 0, 0)
+                    *prim_refs, out_ref, has_tri, has_sph):
+    j = pl.program_id(1)
     ox, oy, oz = _row(ox_r), _row(oy_r), _row(oz_r)
     dx, dy, dz = _row(dx_r), _row(dy_r), _row(dz_r)
     tmax = _row(tmax_r)
     ignore_f = _row(ign_r)
 
-    def body(k, blocked):
-        t, _, _, _ = _chunk_hits(prims, k, ox, oy, oz, dx, dy, dz, ignore_f)
-        hit = jnp.any(t < tmax, axis=0, keepdims=True)
-        return jnp.where(hit, 1.0, blocked)
-
-    out_ref[:] = jax.lax.fori_loop(
-        0, num_chunks, body, jnp.zeros(ox.shape, jnp.float32)
-    ).reshape(1, 8, 128)
+    k_base = (j * PRIM_BLOCK).astype(jnp.float32)
+    t, _, _, _ = _chunk_hits(prim_refs, k_base, ox, oy, oz, dx, dy, dz,
+                             ignore_f, has_tri, has_sph)
+    hit = jnp.any(t < tmax, axis=0, keepdims=True)
+    prev = jnp.where(j == 0, 0.0, out_ref[:].reshape(1, -1))
+    out_ref[:] = jnp.where(hit, 1.0, prev).reshape(1, 8, 128)
 
 
 def _ray_cols(o, d, t_max, ignore, n_pad):
@@ -260,59 +263,65 @@ def _ray_cols(o, d, t_max, ignore, n_pad):
     )
 
 
+def _specs(g, padded_prims):
+    num_chunks = padded_prims // PRIM_BLOCK
+    grid = (g, num_chunks)
+    ray_spec = pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    prim_spec = pl.BlockSpec((1, PRIM_BLOCK), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    return grid, ray_spec, prim_spec, out_spec
+
+
 @functools.partial(jax.jit, static_argnames=("num_tris", "num_prims"))
 def _trace_call(cols, prim_rows, num_tris, num_prims):
     g = cols[0].shape[0]  # ray blocks
-    n_pad = g * RAY_BLOCK
-    padded_prims = prim_rows[0].shape[1]
-    num_chunks = padded_prims // PRIM_BLOCK
-    grid = (g,)
-    ray_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    prim_spec = pl.BlockSpec((1, padded_prims), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-
-    kernel = functools.partial(_wrap_trace, num_chunks=num_chunks)
+    grid, ray_spec, prim_spec, out_spec = _specs(g, prim_rows[0].shape[1])
+    kernel = functools.partial(
+        _wrap_trace, has_tri=num_tris > 0, has_sph=num_prims > num_tris
+    )
     t, p, u, v = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[ray_spec] * 8 + [prim_spec] * 10,
         out_specs=[out_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((g, 8, 128), jnp.float32)] * 4,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=_interpret(),
     )(*cols, *prim_rows)
     return t.reshape(-1), p.reshape(-1), u.reshape(-1), v.reshape(-1)
 
 
-def _wrap_trace(*refs, num_chunks):
+def _wrap_trace(*refs, has_tri, has_sph):
     ins, outs = refs[:18], refs[18:]
     _trace_kernel(
         *ins[:8], *ins[8:18],
         t_out=outs[0], prim_out=outs[1], u_out=outs[2], v_out=outs[3],
-        num_chunks=num_chunks,
+        has_tri=has_tri, has_sph=has_sph,
     )
 
 
-def _wrap_occlude(*refs, num_chunks):
+def _wrap_occlude(*refs, has_tri, has_sph):
     ins, out = refs[:18], refs[18]
-    _occlude_kernel(*ins[:8], *ins[8:18], out_ref=out, num_chunks=num_chunks)
+    _occlude_kernel(*ins[:8], *ins[8:18], out_ref=out, has_tri=has_tri, has_sph=has_sph)
 
 
 @functools.partial(jax.jit, static_argnames=("num_tris", "num_prims"))
 def _occlude_call(cols, prim_rows, num_tris, num_prims):
     g = cols[0].shape[0]  # ray blocks
-    n_pad = g * RAY_BLOCK
-    padded_prims = prim_rows[0].shape[1]
-    num_chunks = padded_prims // PRIM_BLOCK
-    grid = (g,)
-    ray_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    prim_spec = pl.BlockSpec((1, padded_prims), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    grid, ray_spec, prim_spec, out_spec = _specs(g, prim_rows[0].shape[1])
     blocked = pl.pallas_call(
-        functools.partial(_wrap_occlude, num_chunks=num_chunks),
+        functools.partial(
+            _wrap_occlude, has_tri=num_tris > 0, has_sph=num_prims > num_tris
+        ),
         grid=grid,
         in_specs=[ray_spec] * 8 + [prim_spec] * 10,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=_interpret(),
     )(*cols, *prim_rows)
     return blocked.reshape(-1)
