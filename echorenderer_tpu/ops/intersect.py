@@ -129,7 +129,8 @@ def intersect_linear(geom: FlatGeometry, o, d, t_max, ignore) -> Hit:
     """Brute-force closest-hit over all primitives: rays (N, 3) against all
     T triangles and S spheres as one dense broadcast."""
     n = o.shape[0]
-    best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    # clamp to the INF sentinel so t_max=jnp.inf can't record phantom hits
+    best_t = jnp.broadcast_to(jnp.minimum(jnp.asarray(t_max, jnp.float32), INF), (n,))
     best_prim = jnp.full((n,), -1, jnp.int32)
     best_uv = jnp.zeros((n, 2), jnp.float32)
 

@@ -49,9 +49,14 @@ def _interpret() -> bool:
 
 
 class PrimSoA(NamedTuple):
-    """Primitive data laid out for the kernel: (1, P) rows, triangles then
-    spheres, padded to PRIM_BLOCK. Spheres are encoded in the same 9 rows:
-    a/b/c = center, d/e/f = (radius, 0, 0)."""
+    """Primitive data laid out for the kernel: (1, P) rows, padded to
+    PRIM_BLOCK, REORDERED into BVH-leaf (spatially coherent) order so each
+    PRIM_BLOCK chunk is compact in space. Spheres are encoded in the same
+    9 rows: a/b/c = center, d = radius. `chunk_bounds` (8, C) holds each
+    chunk's AABB (rows: min xyz, max xyz, pad) — the kernel slab-tests a
+    whole ray block against it and skips the chunk when nothing can hit
+    (the packet-culling role of the reference's BoxBound4 SIMD test,
+    Aggregation/Bounds/BoxBound4.cs:64)."""
 
     ax: jax.Array
     ay: jax.Array
@@ -63,6 +68,9 @@ class PrimSoA(NamedTuple):
     cy: jax.Array
     cz: jax.Array
     is_sphere: jax.Array  # (1, P) float32 0/1
+    chunk_bounds: jax.Array  # (8, C) float32: min xyz / max xyz / pad
+    order: jax.Array  # (P,) int32 sorted slot -> original prim id
+    inv_order: jax.Array  # (P_orig,) int32 original id -> sorted slot
     num_tris: int  # static: unpadded triangle count
     num_prims: int  # static: unpadded prim count (tris + spheres)
 
@@ -71,42 +79,62 @@ class PrimSoA(NamedTuple):
         return self.ax.shape[1]
 
 
-def build_prim_soa(geom: FlatGeometry) -> PrimSoA:
-    """Host-side packing of FlatGeometry into kernel layout."""
+def build_prim_soa(geom: FlatGeometry, order: np.ndarray | None = None) -> PrimSoA:
+    """Host-side packing of FlatGeometry into kernel layout. `order` is a
+    spatially coherent permutation (BVH leaf order) so chunk AABBs stay
+    tight; identity when omitted."""
     t = geom.num_triangles
     s = geom.num_spheres
     p = t + s
     pad = -(-max(p, 1) // PRIM_BLOCK) * PRIM_BLOCK
+    if order is None or len(order) != p or pad // PRIM_BLOCK == 1:
+        # single chunk: culling never fires, keep identity (skips the
+        # sorted<->original id gathers on every trace)
+        order = np.arange(p, dtype=np.int32)
+    order = np.asarray(order, np.int32)
+    inv_order = np.empty_like(order)
+    inv_order[order] = np.arange(p, dtype=np.int32)
 
-    def row(tri_vals, sph_vals, fill):
+    v0 = np.asarray(geom.tri_v0) if t else np.zeros((0, 3), np.float32)
+    e1 = np.asarray(geom.tri_e1) if t else np.zeros((0, 3), np.float32)
+    e2 = np.asarray(geom.tri_e2) if t else np.zeros((0, 3), np.float32)
+    sc = np.asarray(geom.sph_center) if s else np.zeros((0, 3), np.float32)
+    sr = np.asarray(geom.sph_radius) if s else np.zeros(0, np.float32)
+
+    # original-id component rows, then permute into sorted order
+    a = np.concatenate([v0, sc], 0)  # (p, 3)
+    b = np.concatenate([e1, np.stack([sr, np.zeros_like(sr), np.zeros_like(sr)], -1)], 0)
+    c = np.concatenate([e2, np.zeros((s, 3), np.float32)], 0)
+    is_sph = np.concatenate([np.zeros(t, np.float32), np.ones(s, np.float32)])
+    a, b, c, is_sph = a[order], b[order], c[order], is_sph[order]
+
+    def row(vals, fill):
         out = np.full(pad, fill, np.float32)
-        if t:
-            out[:t] = np.asarray(tri_vals)
-        if s:
-            out[t:p] = np.asarray(sph_vals)
+        out[:p] = vals
         return jnp.asarray(out[None, :])
 
-    zt = np.zeros(max(t, 1), np.float32)[: t or 1]
-    zs = np.zeros(max(s, 1), np.float32)[: s or 1]
-    v0 = np.asarray(geom.tri_v0) if t else np.zeros((1, 3), np.float32)
-    e1 = np.asarray(geom.tri_e1) if t else np.zeros((1, 3), np.float32)
-    e2 = np.asarray(geom.tri_e2) if t else np.zeros((1, 3), np.float32)
-    sc = np.asarray(geom.sph_center) if s else np.zeros((1, 3), np.float32)
-    sr = np.asarray(geom.sph_radius) if s else np.zeros(1, np.float32)
+    # per-prim AABBs in sorted order -> per-chunk bounds
+    lo = np.where(is_sph[:, None] > 0.5, a - b[:, :1], np.minimum(np.minimum(a, a + b), a + c))
+    hi = np.where(is_sph[:, None] > 0.5, a + b[:, :1], np.maximum(np.maximum(a, a + b), a + c))
+    n_chunks = pad // PRIM_BLOCK
+    cb = np.zeros((8, n_chunks), np.float32)
+    cb[0:3] = 1e30
+    cb[3:6] = -1e30
+    for ci in range(n_chunks):
+        seg = slice(ci * PRIM_BLOCK, min((ci + 1) * PRIM_BLOCK, p))
+        if seg.start < p:
+            cb[0:3, ci] = lo[seg].min(0)
+            cb[3:6, ci] = hi[seg].max(0)
 
     soa = PrimSoA(
         # padded entries: v0 far away, e1=e2=0 -> det=0 -> invalid
-        ax=row(v0[:t, 0] if t else zt, sc[:s, 0] if s else zs, 1e30),
-        ay=row(v0[:t, 1] if t else zt, sc[:s, 1] if s else zs, 1e30),
-        az=row(v0[:t, 2] if t else zt, sc[:s, 2] if s else zs, 1e30),
-        bx=row(e1[:t, 0] if t else zt, sr[:s] if s else zs, 0.0),
-        by=row(e1[:t, 1] if t else zt, zs, 0.0),
-        bz=row(e1[:t, 2] if t else zt, zs, 0.0),
-        cx=row(e2[:t, 0] if t else zt, zs, 0.0),
-        cy=row(e2[:t, 1] if t else zt, zs, 0.0),
-        cz=row(e2[:t, 2] if t else zt, zs, 0.0),
-        is_sphere=row(np.zeros(t, np.float32) if t else zt,
-                      np.ones(s, np.float32) if s else zs, 0.0),
+        ax=row(a[:, 0], 1e30), ay=row(a[:, 1], 1e30), az=row(a[:, 2], 1e30),
+        bx=row(b[:, 0], 0.0), by=row(b[:, 1], 0.0), bz=row(b[:, 2], 0.0),
+        cx=row(c[:, 0], 0.0), cy=row(c[:, 1], 0.0), cz=row(c[:, 2], 0.0),
+        is_sphere=row(is_sph, 0.0),
+        chunk_bounds=jnp.asarray(cb),
+        order=jnp.asarray(order),
+        inv_order=jnp.asarray(inv_order),
         num_tris=t,
         num_prims=p,
     )
@@ -115,7 +143,7 @@ def build_prim_soa(geom: FlatGeometry) -> PrimSoA:
 
 jax.tree_util.register_pytree_node(
     PrimSoA,
-    lambda s: (tuple(s[:10]), (s.num_tris, s.num_prims)),
+    lambda s: (tuple(s[:13]), (s.num_tris, s.num_prims)),
     lambda aux, xs: PrimSoA(*xs, *aux),
 )
 
@@ -199,50 +227,99 @@ def _row(ref):
     return ref[:].reshape(1, -1)
 
 
-def _trace_kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r, ign_r,
-                  *prim_refs, t_out, prim_out, u_out, v_out, has_tri, has_sph):
+def _block_box_hit(cb_ref, n_chunks, j, ox, oy, oz, dx, dy, dz, limit):
+    """Scalar: can ANY ray in the block hit chunk j's AABB before `limit`?
+    The packet-culling test — one cheap (1, BR) slab test gates the whole
+    (BP, BR) intersection (BoxBound4.Intersect's role, BoxBound4.cs:64).
+    cb_ref is the (8*C,) scalar-prefetch table in SMEM."""
+    inv = lambda d: jnp.where(jnp.abs(d) < 1e-12, 1e12 * jnp.where(d < 0, -1.0, 1.0), 1.0 / d)
+    ix, iy, iz = inv(dx), inv(dy), inv(dz)
+    t0x = (cb_ref[0 * n_chunks + j] - ox) * ix
+    t1x = (cb_ref[3 * n_chunks + j] - ox) * ix
+    t0y = (cb_ref[1 * n_chunks + j] - oy) * iy
+    t1y = (cb_ref[4 * n_chunks + j] - oy) * iy
+    t0z = (cb_ref[2 * n_chunks + j] - oz) * iz
+    t1z = (cb_ref[5 * n_chunks + j] - oz) * iz
+    tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)), jnp.minimum(t0z, t1z))
+    tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)), jnp.maximum(t0z, t1z))
+    return jnp.any((tn <= tf) & (tf > 0.0) & (tn < limit))
+
+
+def _trace_kernel(cb_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r, ign_r,
+                  *prim_refs, t_out, prim_out, u_out, v_out, has_tri, has_sph,
+                  cull, n_chunks):
     j = pl.program_id(1)
     ox, oy, oz = _row(ox_r), _row(oy_r), _row(oz_r)
     dx, dy, dz = _row(dx_r), _row(dy_r), _row(dz_r)
     ignore_f = _row(ign_r)
 
-    k_base = (j * PRIM_BLOCK).astype(jnp.float32)
-    t, u, v, pid = _chunk_hits(prim_refs, k_base, ox, oy, oz, dx, dy, dz,
-                               ignore_f, has_tri, has_sph)
-    tm = jnp.min(t, axis=0, keepdims=True)  # (1, BR)
-    sel = t <= tm
-    pm = jnp.min(jnp.where(sel, pid, 3.4e38), axis=0, keepdims=True)
-    um = jnp.sum(jnp.where(sel & (pid == pm), u, 0.0), axis=0, keepdims=True)
-    vm = jnp.sum(jnp.where(sel & (pid == pm), v, 0.0), axis=0, keepdims=True)
-
-    # running best lives in the output block, which Pallas keeps resident
-    # across the prim-chunk grid dimension (out index map ignores j)
     first = j == 0
+    # reads at j == 0 see uninitialized blocks; the where() masks them
     best_t = jnp.where(first, _row(tmax_r), t_out[:].reshape(1, -1))
     best_p = jnp.where(first, -1.0, prim_out[:].reshape(1, -1))
     best_u = jnp.where(first, 0.0, u_out[:].reshape(1, -1))
     best_v = jnp.where(first, 0.0, v_out[:].reshape(1, -1))
-    closer = tm < best_t
-    t_out[:] = jnp.where(closer, tm, best_t).reshape(1, 8, 128)
-    prim_out[:] = jnp.where(closer, pm, best_p).reshape(1, 8, 128)
-    u_out[:] = jnp.where(closer, um, best_u).reshape(1, 8, 128)
-    v_out[:] = jnp.where(closer, vm, best_v).reshape(1, 8, 128)
+
+    def merge():
+        k_base = (j * PRIM_BLOCK).astype(jnp.float32)
+        t, u, v, pid = _chunk_hits(prim_refs[:10], k_base, ox, oy, oz, dx, dy, dz,
+                                   ignore_f, has_tri, has_sph)
+        tm = jnp.min(t, axis=0, keepdims=True)  # (1, BR)
+        sel = t <= tm
+        pm = jnp.min(jnp.where(sel, pid, 3.4e38), axis=0, keepdims=True)
+        um = jnp.sum(jnp.where(sel & (pid == pm), u, 0.0), axis=0, keepdims=True)
+        vm = jnp.sum(jnp.where(sel & (pid == pm), v, 0.0), axis=0, keepdims=True)
+        closer = tm < best_t
+        t_out[:] = jnp.where(closer, tm, best_t).reshape(1, 8, 128)
+        prim_out[:] = jnp.where(closer, pm, best_p).reshape(1, 8, 128)
+        u_out[:] = jnp.where(closer, um, best_u).reshape(1, 8, 128)
+        v_out[:] = jnp.where(closer, vm, best_v).reshape(1, 8, 128)
+
+    if not cull:  # static: single-chunk scenes skip the packet test
+        merge()
+        return
+
+    hit_any = _block_box_hit(cb_ref, n_chunks, j, ox, oy, oz, dx, dy, dz, best_t)
+    pl.when(hit_any)(merge)
+
+    @pl.when(~hit_any & first)
+    def _():  # first chunk skipped: outputs still need their init values
+        t_out[:] = best_t.reshape(1, 8, 128)
+        prim_out[:] = best_p.reshape(1, 8, 128)
+        u_out[:] = best_u.reshape(1, 8, 128)
+        v_out[:] = best_v.reshape(1, 8, 128)
 
 
-def _occlude_kernel(ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r, ign_r,
-                    *prim_refs, out_ref, has_tri, has_sph):
+def _occlude_kernel(cb_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r, ign_r,
+                    *prim_refs, out_ref, has_tri, has_sph, cull, n_chunks):
     j = pl.program_id(1)
     ox, oy, oz = _row(ox_r), _row(oy_r), _row(oz_r)
     dx, dy, dz = _row(dx_r), _row(dy_r), _row(dz_r)
     tmax = _row(tmax_r)
     ignore_f = _row(ign_r)
 
-    k_base = (j * PRIM_BLOCK).astype(jnp.float32)
-    t, _, _, _ = _chunk_hits(prim_refs, k_base, ox, oy, oz, dx, dy, dz,
-                             ignore_f, has_tri, has_sph)
-    hit = jnp.any(t < tmax, axis=0, keepdims=True)
-    prev = jnp.where(j == 0, 0.0, out_ref[:].reshape(1, -1))
-    out_ref[:] = jnp.where(hit, 1.0, prev).reshape(1, 8, 128)
+    first = j == 0
+    prev = jnp.where(first, 0.0, out_ref[:].reshape(1, -1))
+
+    def merge():
+        k_base = (j * PRIM_BLOCK).astype(jnp.float32)
+        t, _, _, _ = _chunk_hits(prim_refs[:10], k_base, ox, oy, oz, dx, dy, dz,
+                                 ignore_f, has_tri, has_sph)
+        hit = jnp.any(t < tmax, axis=0, keepdims=True)
+        out_ref[:] = jnp.where(hit, 1.0, prev).reshape(1, 8, 128)
+
+    if not cull:
+        merge()
+        return
+
+    # skip the chunk unless an unblocked ray could hit its box within tmax
+    limit = jnp.where(prev > 0.5, -1.0, tmax)
+    hit_any = _block_box_hit(cb_ref, n_chunks, j, ox, oy, oz, dx, dy, dz, limit)
+    pl.when(hit_any)(merge)
+
+    @pl.when(~hit_any & first)
+    def _():
+        out_ref[:] = prev.reshape(1, 8, 128)
 
 
 def _ray_cols(o, d, t_max, ignore, n_pad):
@@ -258,83 +335,135 @@ def _ray_cols(o, d, t_max, ignore, n_pad):
     return (
         col(o[:, 0]), col(o[:, 1]), col(o[:, 2]),
         col(d[:, 0]), col(d[:, 1]), col(d[:, 2], 1.0),
-        col(t_max, -1.0),  # padded lanes: t_max < 0 -> nothing hits
+        # clamp to the INF sentinel: a t_max above it (e.g. jnp.inf) would
+        # otherwise record phantom hits at t = INF
+        col(jnp.minimum(jnp.asarray(t_max, jnp.float32), _INF), -1.0),
         col(ignore.astype(jnp.float32), -1.0),
     )
 
 
 def _specs(g, padded_prims):
-    num_chunks = padded_prims // PRIM_BLOCK
-    grid = (g, num_chunks)
-    ray_spec = pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
-    prim_spec = pl.BlockSpec((1, PRIM_BLOCK), lambda i, j: (0, j), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    # with scalar prefetch, index maps get the prefetch ref appended last
+    grid = (g, padded_prims // PRIM_BLOCK)
+    ray_spec = pl.BlockSpec((1, 8, 128), lambda i, j, cb: (i, 0, 0), memory_space=pltpu.VMEM)
+    prim_spec = pl.BlockSpec((1, PRIM_BLOCK), lambda i, j, cb: (0, j), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 8, 128), lambda i, j, cb: (i, 0, 0), memory_space=pltpu.VMEM)
     return grid, ray_spec, prim_spec, out_spec
 
 
 @functools.partial(jax.jit, static_argnames=("num_tris", "num_prims"))
-def _trace_call(cols, prim_rows, num_tris, num_prims):
+def _trace_call(cols, prim_rows, chunk_bounds, num_tris, num_prims):
     g = cols[0].shape[0]  # ray blocks
     grid, ray_spec, prim_spec, out_spec = _specs(g, prim_rows[0].shape[1])
+    cull = grid[1] > 1
     kernel = functools.partial(
-        _wrap_trace, has_tri=num_tris > 0, has_sph=num_prims > num_tris
+        _wrap_trace, has_tri=num_tris > 0, has_sph=num_prims > num_tris,
+        cull=cull, n_chunks=grid[1],
     )
-    t, p, u, v = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[ray_spec] * 8 + [prim_spec] * 10,
-        out_specs=[out_spec] * 4,
-        out_shape=[jax.ShapeDtypeStruct((g, 8, 128), jnp.float32)] * 4,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        interpret=_interpret(),
-    )(*cols, *prim_rows)
+    out_shape = [jax.ShapeDtypeStruct((g, 8, 128), jnp.float32)] * 4
+    params = pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))
+    if cull:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # chunk AABBs: loaded into SMEM once
+            grid=grid,
+            in_specs=[ray_spec] * 8 + [prim_spec] * 10,
+            out_specs=[out_spec] * 4,
+        )
+        t, p, u, v = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            compiler_params=params, interpret=_interpret(),
+        )(chunk_bounds.reshape(-1), *cols, *prim_rows)
+    else:  # single chunk: no prefetch machinery at all (fast path)
+        simple = lambda f: pl.BlockSpec(f.block_shape, lambda i, j: f.index_map(i, j, None), memory_space=pltpu.VMEM)
+        t, p, u, v = pl.pallas_call(
+            functools.partial(kernel, _NO_CB),
+            grid=grid,
+            in_specs=[simple(ray_spec)] * 8 + [simple(prim_spec)] * 10,
+            out_specs=[simple(out_spec)] * 4,
+            out_shape=out_shape,
+            compiler_params=params, interpret=_interpret(),
+        )(*cols, *prim_rows)
     return t.reshape(-1), p.reshape(-1), u.reshape(-1), v.reshape(-1)
 
 
-def _wrap_trace(*refs, has_tri, has_sph):
-    ins, outs = refs[:18], refs[18:]
+_NO_CB = None  # placeholder cb_ref for the no-culling fast path
+
+
+def _wrap_trace(*refs, has_tri, has_sph, cull, n_chunks):
+    ins, outs = refs[:19], refs[19:]
     _trace_kernel(
-        *ins[:8], *ins[8:18],
+        ins[0], *ins[1:9], *ins[9:19],
         t_out=outs[0], prim_out=outs[1], u_out=outs[2], v_out=outs[3],
-        has_tri=has_tri, has_sph=has_sph,
+        has_tri=has_tri, has_sph=has_sph, cull=cull, n_chunks=n_chunks,
     )
 
 
-def _wrap_occlude(*refs, has_tri, has_sph):
-    ins, out = refs[:18], refs[18]
-    _occlude_kernel(*ins[:8], *ins[8:18], out_ref=out, has_tri=has_tri, has_sph=has_sph)
+def _wrap_occlude(*refs, has_tri, has_sph, cull, n_chunks):
+    ins, out = refs[:19], refs[19]
+    _occlude_kernel(ins[0], *ins[1:9], *ins[9:19], out_ref=out,
+                    has_tri=has_tri, has_sph=has_sph, cull=cull, n_chunks=n_chunks)
 
 
 @functools.partial(jax.jit, static_argnames=("num_tris", "num_prims"))
-def _occlude_call(cols, prim_rows, num_tris, num_prims):
+def _occlude_call(cols, prim_rows, chunk_bounds, num_tris, num_prims):
     g = cols[0].shape[0]  # ray blocks
     grid, ray_spec, prim_spec, out_spec = _specs(g, prim_rows[0].shape[1])
-    blocked = pl.pallas_call(
-        functools.partial(
-            _wrap_occlude, has_tri=num_tris > 0, has_sph=num_prims > num_tris
-        ),
-        grid=grid,
-        in_specs=[ray_spec] * 8 + [prim_spec] * 10,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        interpret=_interpret(),
-    )(*cols, *prim_rows)
+    cull = grid[1] > 1
+    kernel = functools.partial(
+        _wrap_occlude, has_tri=num_tris > 0, has_sph=num_prims > num_tris,
+        cull=cull, n_chunks=grid[1],
+    )
+    out_shape = jax.ShapeDtypeStruct((g, 8, 128), jnp.float32)
+    params = pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))
+    if cull:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[ray_spec] * 8 + [prim_spec] * 10,
+            out_specs=out_spec,
+        )
+        blocked = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            compiler_params=params, interpret=_interpret(),
+        )(chunk_bounds.reshape(-1), *cols, *prim_rows)
+    else:
+        simple = lambda f: pl.BlockSpec(f.block_shape, lambda i, j: f.index_map(i, j, None), memory_space=pltpu.VMEM)
+        blocked = pl.pallas_call(
+            functools.partial(kernel, _NO_CB),
+            grid=grid,
+            in_specs=[simple(ray_spec)] * 8 + [simple(prim_spec)] * 10,
+            out_specs=simple(out_spec),
+            out_shape=out_shape,
+            compiler_params=params, interpret=_interpret(),
+        )(*cols, *prim_rows)
     return blocked.reshape(-1)
+
+
+def _has_reorder(soa: PrimSoA) -> bool:
+    return soa.padded // PRIM_BLOCK > 1  # identity order otherwise
+
+
+def _sorted_ignore(soa: PrimSoA, ignore):
+    if not _has_reorder(soa):
+        return ignore
+    ig = soa.inv_order[jnp.maximum(ignore, 0)]
+    return jnp.where(ignore >= 0, ig, -1)
 
 
 def intersect_pallas(geom: FlatGeometry, soa: PrimSoA, o, d, t_max, ignore) -> Hit:
     """Closest-hit over all primitives via the tiled VMEM kernel."""
     n = o.shape[0]
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
-    cols = _ray_cols(o, d, t_max, ignore, n_pad)
-    t, p, u, v = _trace_call(cols, tuple(soa[:10]), soa.num_tris, soa.num_prims)
+    cols = _ray_cols(o, d, t_max, _sorted_ignore(soa, ignore), n_pad)
+    t, p, u, v = _trace_call(
+        cols, tuple(soa[:10]), soa.chunk_bounds, soa.num_tris, soa.num_prims
+    )
     t, p, u, v = t[:n], p[:n], u[:n], v[:n]
-    prim = jnp.where(p >= 0.0, p, -1.0).astype(jnp.int32)
+    if _has_reorder(soa):
+        sorted_id = jnp.clip(p, 0.0, soa.num_prims - 1).astype(jnp.int32)
+        prim = jnp.where(p >= 0.0, soa.order[sorted_id], -1)  # original ids
+    else:
+        prim = jnp.where(p >= 0.0, p, -1.0).astype(jnp.int32)
     found = prim >= 0
     # sphere uv computed post-hoc for the single best hit per lane
     is_sph = found & (prim >= soa.num_tris)
@@ -351,6 +480,8 @@ def intersect_pallas(geom: FlatGeometry, soa: PrimSoA, o, d, t_max, ignore) -> H
 def occlude_pallas(geom: FlatGeometry, soa: PrimSoA, o, d, t_max, ignore) -> jax.Array:
     n = o.shape[0]
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
-    cols = _ray_cols(o, d, t_max, ignore, n_pad)
-    blocked = _occlude_call(cols, tuple(soa[:10]), soa.num_tris, soa.num_prims)
+    cols = _ray_cols(o, d, t_max, _sorted_ignore(soa, ignore), n_pad)
+    blocked = _occlude_call(
+        cols, tuple(soa[:10]), soa.chunk_bounds, soa.num_tris, soa.num_prims
+    )
     return blocked[:n] > 0.5

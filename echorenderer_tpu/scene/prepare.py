@@ -543,7 +543,9 @@ def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene
         camera=camera,
         env_maps=tuple(env_maps),
         tex_atlas=jnp.asarray(tex_atlas),
-        prim_soa=build_prim_soa(geometry),
+        # kernel prim layout in BVH-leaf order: spatially tight chunks for
+        # the packet-culling AABB test
+        prim_soa=build_prim_soa(geometry, order=np.asarray(bvh.prim_order)),
         shade_pack=jnp.asarray(shade),
         mat_pack=jnp.asarray(mat_pack),
         emissive_pack=jnp.asarray(epack),
