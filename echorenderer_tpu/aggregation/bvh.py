@@ -339,6 +339,49 @@ def intersect_bvh(geom: FlatGeometry, bvh: FlatBVH, o, d, t_max, ignore) -> Hit:
     return _traverse(geom, bvh, o, d, t_max, ignore, any_hit=False)
 
 
+def trace_cost(geom: FlatGeometry, bvh: FlatBVH, o, d) -> jax.Array:
+    """Per-ray traversal cost: node visits + primitive tests, the metric
+    behind the reference's false-color AggregatorQualityEvaluator
+    (Accelerator.TraceCost, Aggregation/Acceleration/Accelerator.cs:104)."""
+    n = o.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
+    stack = jnp.zeros((n, STACK_DEPTH), jnp.int32)
+    stack = stack.at[:, 0].set(bvh.root_code)
+    sp = jnp.ones((n,), jnp.int32)
+    cost = jnp.zeros((n,), jnp.float32)
+
+    def cond(state):
+        return jnp.any(state[0] > 0)
+
+    def body(state):
+        sp, stack, cost = state
+        active = sp > 0
+        sp_idx = jnp.maximum(sp - 1, 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, stack.shape, 1)
+        code = jnp.sum(jnp.where(lanes == sp_idx[:, None], stack, 0), axis=1)
+        code = jnp.where(active, code, 0)
+        sp = jnp.where(active, sp - 1, sp)
+        is_interior = active & (code >= 0)
+        node = jnp.clip(code, 0, bvh.num_nodes - 1)
+        cmin = bvh.child_min[node]
+        cmax = bvh.child_max[node]
+        ccode = bvh.child_code[node]
+        hit, _ = _slab_test(o[:, None, :], inv_d[:, None, :], cmin, cmax, jnp.full((n, 1), INF))
+        hit &= is_interior[:, None]
+        for side in range(2):
+            idx = jnp.minimum(sp, STACK_DEPTH - 1)
+            write = (lanes == idx[:, None]) & hit[:, side][:, None]
+            stack = jnp.where(write, ccode[:, side][:, None], stack)
+            sp = jnp.where(hit[:, side], sp + 1, sp)
+        # cost: 1 per interior node + LEAF_MAX per leaf visit (prim tests)
+        cost += jnp.where(is_interior, 1.0, 0.0)
+        cost += jnp.where(active & (code < 0), float(LEAF_MAX), 0.0)
+        return sp, stack, cost
+
+    _, _, cost = jax.lax.while_loop(cond, body, (sp, stack, cost))
+    return cost
+
+
 def occlude_bvh(geom: FlatGeometry, bvh: FlatBVH, o, d, t_max, ignore) -> jax.Array:
     """Any-hit traversal with early exit (reference Accelerator.Occlude)."""
     return _traverse(geom, bvh, o, d, t_max, ignore, any_hit=True)

@@ -262,6 +262,21 @@ def albedo(scene: PreparedScene, stream: SampleStream, origin, direction):
     return jnp.where(hit.found[..., None], contact.material.albedo, miss)
 
 
+def aggregator_quality(scene: PreparedScene, stream: SampleStream, origin, direction):
+    """False-color traversal-cost AOV (reference AggregatorQualityEvaluator,
+    Evaluation/Evaluators/AggregatorQualityEvaluator.cs): cheap rays map to
+    blue, expensive ones through green to red."""
+    from ..aggregation.bvh import trace_cost
+
+    cost = trace_cost(scene.geometry, scene.bvh, origin, direction)
+    # normalize on a soft log scale; ~32 visits is mid-range
+    x = jnp.clip(jnp.log1p(cost) / jnp.log(256.0), 0.0, 1.0)
+    r = jnp.clip(2.0 * x - 0.5, 0.0, 1.0)
+    g = 1.0 - jnp.abs(2.0 * x - 1.0)
+    b = jnp.clip(1.0 - 2.0 * x, 0.0, 1.0)
+    return jnp.stack([r, g, b], axis=-1)
+
+
 def normal_depth(scene: PreparedScene, stream: SampleStream, origin, direction):
     """Shading normal + depth AOV packed as (N, 4) (NormalDepthEvaluator.cs,
     Textures/Colors/NormalDepth128.cs)."""

@@ -145,8 +145,17 @@ def interact(scene: PreparedScene, hit: Hit, o, d) -> Contact:
             + shade_n * jnp.maximum(tn[..., 2:3], 0.1)
         )
         shade_n = jnp.where((ntid >= 0)[..., None], perturbed, shade_n)
+    mat_type = mrow[..., 10].astype(jnp.int32)
+    if 0 in (m.present or ()):  # INVISIBLE present => OneSided wrappers exist
+        # OneSided: invisible from the back face (reference OneSided.cs) —
+        # backface hits become pass-through so the path continues
+        from ..scene.materials import INVISIBLE
+
+        backface = vec.dot(geo_n, -d) < 0.0
+        one_sided = mrow[..., 12] > 0.5
+        mat_type = jnp.where(backface & one_sided, INVISIBLE, mat_type)
     material = GatheredMaterial(
-        type=mrow[..., 10].astype(jnp.int32),
+        type=mat_type,
         albedo=albedo,
         params=mrow[..., 3:7],
         extra=mrow[..., 7:10],

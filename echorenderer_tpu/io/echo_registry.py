@@ -390,6 +390,7 @@ def _make_registry():
         "NaiveEvaluator": _evaluator("naive"),
         "AlbedoEvaluator": _evaluator("albedo"),
         "NormalDepthEvaluator": _evaluator("normal_depth"),
+        "AggregatorQualityEvaluator": _evaluator("aggregator_quality"),
         # profiles
         "EvaluationProfile": _build_evaluation_profile,
         "RenderProfile": _build_render_profile,

@@ -32,9 +32,13 @@ EVALUATORS: dict[str, Callable] = {
     "naive": integrators.naive_trace,
     "albedo": integrators.albedo,
     "normal_depth": integrators.normal_depth,
+    "aggregator_quality": integrators.aggregator_quality,
 }
 
-AOV_CHANNELS = {"path": 3, "path_lockstep": 3, "naive": 3, "albedo": 3, "normal_depth": 4}
+AOV_CHANNELS = {
+    "path": 3, "path_lockstep": 3, "naive": 3,
+    "albedo": 3, "normal_depth": 4, "aggregator_quality": 3,
+}
 
 
 @dataclasses.dataclass
@@ -207,7 +211,7 @@ def render_layer(
         acc = acc_mod.add_many(acc, s_sum, s_sq, k)
         total_samples += profile.samples_per_epoch * n
 
-        if profile.evaluator in ("albedo", "normal_depth"):
+        if profile.evaluator in ("albedo", "normal_depth", "aggregator_quality"):
             break  # deterministic AOVs need one epoch
 
         noise = float(jnp.max(acc_mod.max_noise(acc)))

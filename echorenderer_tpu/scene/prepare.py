@@ -483,7 +483,13 @@ def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene
         extra=jnp.asarray(mextra),
         one_sided=jnp.asarray(mone),
         albedo_tex=jnp.asarray(mtex),
-        present=tuple(sorted(int(t) for t in np.unique(mtypes))),
+        present=tuple(
+            sorted(
+                {int(t) for t in np.unique(mtypes)}
+                # OneSided wrappers turn backface hits into pass-through
+                | ({mat_mod.INVISIBLE} if mone.any() else set())
+            )
+        ),
     )
     # --- packed shading rows (single-gather interact) ---
     shade = np.zeros((num_prims, 24), np.float32)
