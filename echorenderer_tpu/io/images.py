@@ -287,6 +287,10 @@ def save(path, image: np.ndarray, **kw):
         np.save(path, np.asarray(image, np.float32))
     elif ext == ".hdr":
         save_hdr(path, image, **kw)
+    elif ext == ".exr":
+        from .exr import save_exr
+
+        save_exr(path, image, **kw)
     elif ext == ".pfm":
         save_pfm(path, image)
     elif ext in _PIL_EXTS:
@@ -308,6 +312,10 @@ def load(path) -> np.ndarray:
         return np.load(path)
     if ext == ".hdr":
         return load_hdr(path)
+    if ext == ".exr":
+        from .exr import load_exr
+
+        return load_exr(path)
     if ext == ".pfm":
         return load_pfm(path)
     if ext in _PIL_EXTS:

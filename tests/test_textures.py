@@ -200,3 +200,20 @@ class TestImages:
         p = tmp_path / "t.pfm"
         images.save_pfm(p, img)
         np.testing.assert_allclose(images.load_pfm(p), img, rtol=1e-6)
+
+    def test_exr_roundtrip(self, tmp_path):
+        from echorenderer_tpu.io import images
+
+        img = np.random.RandomState(4).uniform(0, 50, (6, 9, 3)).astype(np.float32)
+        p = tmp_path / "t.exr"
+        images.save(p, img)
+        back = images.load(p)
+        np.testing.assert_allclose(back, img, atol=1e-6)
+
+    def test_exr_rgba(self, tmp_path):
+        from echorenderer_tpu.io.exr import load_exr, save_exr
+
+        img = np.random.RandomState(5).uniform(0, 2, (5, 7, 4)).astype(np.float32)
+        p = tmp_path / "a.exr"
+        save_exr(p, img)
+        np.testing.assert_allclose(load_exr(p), img, atol=1e-6)
