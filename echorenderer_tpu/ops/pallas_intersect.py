@@ -40,7 +40,8 @@ RAY_BLOCK = 1024  # rays per grid step, laid out (G, 8, 128)
 PRIM_BLOCK = 128  # primitives per grid chunk (streamed HBM -> VMEM)
 # dense intersection cost grows linearly in prims; beyond this the
 # hierarchical path wins (the limit is compute, not VMEM — chunks stream)
-PALLAS_PRIM_LIMIT = 131072
+PALLAS_PRIM_LIMIT = 262144
+SC_FACTOR = 32  # chunks per superchunk (second culling level)
 VMEM_PRIM_LIMIT = PALLAS_PRIM_LIMIT  # backwards-compat alias
 
 
@@ -69,6 +70,7 @@ class PrimSoA(NamedTuple):
     cz: jax.Array
     is_sphere: jax.Array  # (1, P) float32 0/1
     chunk_bounds: jax.Array  # (8, C) float32: min xyz / max xyz / pad
+    super_bounds: jax.Array  # (8, SC) float32: AABBs of SC_FACTOR-chunk groups
     order: jax.Array  # (P,) int32 sorted slot -> original prim id
     inv_order: jax.Array  # (P_orig,) int32 original id -> sorted slot
     num_tris: int  # static: unpadded triangle count
@@ -125,6 +127,14 @@ def build_prim_soa(geom: FlatGeometry, order: np.ndarray | None = None) -> PrimS
         if seg.start < p:
             cb[0:3, ci] = lo[seg].min(0)
             cb[3:6, ci] = hi[seg].max(0)
+    n_super = -(-n_chunks // SC_FACTOR)
+    scb = np.zeros((8, n_super), np.float32)
+    scb[0:3] = 1e30
+    scb[3:6] = -1e30
+    for si in range(n_super):
+        seg = slice(si * SC_FACTOR, min((si + 1) * SC_FACTOR, n_chunks))
+        scb[0:3, si] = cb[0:3, seg].min(1)
+        scb[3:6, si] = cb[3:6, seg].max(1)
 
     soa = PrimSoA(
         # padded entries: v0 far away, e1=e2=0 -> det=0 -> invalid
@@ -133,6 +143,7 @@ def build_prim_soa(geom: FlatGeometry, order: np.ndarray | None = None) -> PrimS
         cx=row(c[:, 0], 0.0), cy=row(c[:, 1], 0.0), cz=row(c[:, 2], 0.0),
         is_sphere=row(is_sph, 0.0),
         chunk_bounds=jnp.asarray(cb),
+        super_bounds=jnp.asarray(scb),
         order=jnp.asarray(order),
         inv_order=jnp.asarray(inv_order),
         num_tris=t,
@@ -143,7 +154,7 @@ def build_prim_soa(geom: FlatGeometry, order: np.ndarray | None = None) -> PrimS
 
 jax.tree_util.register_pytree_node(
     PrimSoA,
-    lambda s: (tuple(s[:13]), (s.num_tris, s.num_prims)),
+    lambda s: (tuple(s[:14]), (s.num_tris, s.num_prims)),
     lambda aux, xs: PrimSoA(*xs, *aux),
 )
 
@@ -227,27 +238,28 @@ def _row(ref):
     return ref[:].reshape(1, -1)
 
 
-def _block_box_hit(cb_ref, n_chunks, j, ox, oy, oz, dx, dy, dz, limit):
+def _block_box_hit(cb_ref, n_chunks, j, ox, oy, oz, dx, dy, dz, limit, base=0):
     """Scalar: can ANY ray in the block hit chunk j's AABB before `limit`?
     The packet-culling test — one cheap (1, BR) slab test gates the whole
-    (BP, BR) intersection (BoxBound4.Intersect's role, BoxBound4.cs:64).
-    cb_ref is the (8*C,) scalar-prefetch table in SMEM."""
+    (BP, BP) intersection (BoxBound4.Intersect's role, BoxBound4.cs:64).
+    cb_ref is the flat scalar-prefetch table in SMEM: chunk rows first,
+    superchunk rows at `base` = 8 * num_chunks."""
     inv = lambda d: jnp.where(jnp.abs(d) < 1e-12, 1e12 * jnp.where(d < 0, -1.0, 1.0), 1.0 / d)
     ix, iy, iz = inv(dx), inv(dy), inv(dz)
-    t0x = (cb_ref[0 * n_chunks + j] - ox) * ix
-    t1x = (cb_ref[3 * n_chunks + j] - ox) * ix
-    t0y = (cb_ref[1 * n_chunks + j] - oy) * iy
-    t1y = (cb_ref[4 * n_chunks + j] - oy) * iy
-    t0z = (cb_ref[2 * n_chunks + j] - oz) * iz
-    t1z = (cb_ref[5 * n_chunks + j] - oz) * iz
+    t0x = (cb_ref[base + 0 * n_chunks + j] - ox) * ix
+    t1x = (cb_ref[base + 3 * n_chunks + j] - ox) * ix
+    t0y = (cb_ref[base + 1 * n_chunks + j] - oy) * iy
+    t1y = (cb_ref[base + 4 * n_chunks + j] - oy) * iy
+    t0z = (cb_ref[base + 2 * n_chunks + j] - oz) * iz
+    t1z = (cb_ref[base + 5 * n_chunks + j] - oz) * iz
     tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)), jnp.minimum(t0z, t1z))
     tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)), jnp.maximum(t0z, t1z))
     return jnp.any((tn <= tf) & (tf > 0.0) & (tn < limit))
 
 
 def _trace_kernel(cb_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r, ign_r,
-                  *prim_refs, t_out, prim_out, u_out, v_out, has_tri, has_sph,
-                  cull, n_chunks):
+                  *prim_refs, t_out, prim_out, u_out, v_out, sc_scratch,
+                  has_tri, has_sph, cull, n_chunks, n_super):
     j = pl.program_id(1)
     ox, oy, oz = _row(ox_r), _row(oy_r), _row(oz_r)
     dx, dy, dz = _row(dx_r), _row(dy_r), _row(dz_r)
@@ -279,19 +291,42 @@ def _trace_kernel(cb_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r, ign_r,
         merge()
         return
 
-    hit_any = _block_box_hit(cb_ref, n_chunks, j, ox, oy, oz, dx, dy, dz, best_t)
-    pl.when(hit_any)(merge)
-
-    @pl.when(~hit_any & first)
-    def _():  # first chunk skipped: outputs still need their init values
+    def write_current():  # keep the running best when this chunk is skipped
         t_out[:] = best_t.reshape(1, 8, 128)
         prim_out[:] = best_p.reshape(1, 8, 128)
         u_out[:] = best_u.reshape(1, 8, 128)
         v_out[:] = best_v.reshape(1, 8, 128)
 
+    if n_super > 1:
+        # level 2: test the SC_FACTOR-chunk group once; misses reduce the
+        # whole group to one scalar branch per chunk
+        @pl.when(j % SC_FACTOR == 0)
+        def _():
+            sc = j // SC_FACTOR
+            sc_hit = _block_box_hit(
+                cb_ref, n_super, sc, ox, oy, oz, dx, dy, dz, best_t,
+                base=8 * n_chunks,
+            )
+            sc_scratch[0] = sc_hit.astype(jnp.int32)
+
+        sc_ok = sc_scratch[0] > 0
+
+        @pl.when(sc_ok)
+        def _():
+            hit_any = _block_box_hit(cb_ref, n_chunks, j, ox, oy, oz, dx, dy, dz, best_t)
+            pl.when(hit_any)(merge)
+            pl.when(~hit_any & first)(write_current)
+
+        pl.when(~sc_ok & first)(write_current)
+    else:
+        hit_any = _block_box_hit(cb_ref, n_chunks, j, ox, oy, oz, dx, dy, dz, best_t)
+        pl.when(hit_any)(merge)
+        pl.when(~hit_any & first)(write_current)
+
 
 def _occlude_kernel(cb_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r, ign_r,
-                    *prim_refs, out_ref, has_tri, has_sph, cull, n_chunks):
+                    *prim_refs, out_ref, sc_scratch, has_tri, has_sph, cull,
+                    n_chunks, n_super):
     j = pl.program_id(1)
     ox, oy, oz = _row(ox_r), _row(oy_r), _row(oz_r)
     dx, dy, dz = _row(dx_r), _row(dy_r), _row(dz_r)
@@ -312,14 +347,34 @@ def _occlude_kernel(cb_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r, ign_r,
         merge()
         return
 
+    def write_current():
+        out_ref[:] = prev.reshape(1, 8, 128)
+
     # skip the chunk unless an unblocked ray could hit its box within tmax
     limit = jnp.where(prev > 0.5, -1.0, tmax)
-    hit_any = _block_box_hit(cb_ref, n_chunks, j, ox, oy, oz, dx, dy, dz, limit)
-    pl.when(hit_any)(merge)
+    if n_super > 1:
+        @pl.when(j % SC_FACTOR == 0)
+        def _():
+            sc = j // SC_FACTOR
+            sc_hit = _block_box_hit(
+                cb_ref, n_super, sc, ox, oy, oz, dx, dy, dz, limit,
+                base=8 * n_chunks,
+            )
+            sc_scratch[0] = sc_hit.astype(jnp.int32)
 
-    @pl.when(~hit_any & first)
-    def _():
-        out_ref[:] = prev.reshape(1, 8, 128)
+        sc_ok = sc_scratch[0] > 0
+
+        @pl.when(sc_ok)
+        def _():
+            hit_any = _block_box_hit(cb_ref, n_chunks, j, ox, oy, oz, dx, dy, dz, limit)
+            pl.when(hit_any)(merge)
+            pl.when(~hit_any & first)(write_current)
+
+        pl.when(~sc_ok & first)(write_current)
+    else:
+        hit_any = _block_box_hit(cb_ref, n_chunks, j, ox, oy, oz, dx, dy, dz, limit)
+        pl.when(hit_any)(merge)
+        pl.when(~hit_any & first)(write_current)
 
 
 def _ray_cols(o, d, t_max, ignore, n_pad):
@@ -352,27 +407,30 @@ def _specs(g, padded_prims):
 
 
 @functools.partial(jax.jit, static_argnames=("num_tris", "num_prims"))
-def _trace_call(cols, prim_rows, chunk_bounds, num_tris, num_prims):
+def _trace_call(cols, prim_rows, chunk_bounds, super_bounds, num_tris, num_prims):
     g = cols[0].shape[0]  # ray blocks
     grid, ray_spec, prim_spec, out_spec = _specs(g, prim_rows[0].shape[1])
     cull = grid[1] > 1
+    n_super = super_bounds.shape[1] if grid[1] > SC_FACTOR else 1
     kernel = functools.partial(
         _wrap_trace, has_tri=num_tris > 0, has_sph=num_prims > num_tris,
-        cull=cull, n_chunks=grid[1],
+        cull=cull, n_chunks=grid[1], n_super=n_super,
     )
     out_shape = [jax.ShapeDtypeStruct((g, 8, 128), jnp.float32)] * 4
     params = pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))
     if cull:
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,  # chunk AABBs: loaded into SMEM once
+            num_scalar_prefetch=1,  # chunk (+superchunk) AABBs in SMEM
             grid=grid,
             in_specs=[ray_spec] * 8 + [prim_spec] * 10,
             out_specs=[out_spec] * 4,
+            scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         )
+        table = jnp.concatenate([chunk_bounds.reshape(-1), super_bounds.reshape(-1)])
         t, p, u, v = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             compiler_params=params, interpret=_interpret(),
-        )(chunk_bounds.reshape(-1), *cols, *prim_rows)
+        )(table, *cols, *prim_rows)
     else:  # single chunk: no prefetch machinery at all (fast path)
         simple = lambda f: pl.BlockSpec(f.block_shape, lambda i, j: f.index_map(i, j, None), memory_space=pltpu.VMEM)
         t, p, u, v = pl.pallas_call(
@@ -389,29 +447,36 @@ def _trace_call(cols, prim_rows, chunk_bounds, num_tris, num_prims):
 _NO_CB = None  # placeholder cb_ref for the no-culling fast path
 
 
-def _wrap_trace(*refs, has_tri, has_sph, cull, n_chunks):
-    ins, outs = refs[:19], refs[19:]
+def _wrap_trace(*refs, has_tri, has_sph, cull, n_chunks, n_super):
+    ins, outs = refs[:19], refs[19:23]
+    scratch = refs[23] if cull else None
     _trace_kernel(
         ins[0], *ins[1:9], *ins[9:19],
         t_out=outs[0], prim_out=outs[1], u_out=outs[2], v_out=outs[3],
+        sc_scratch=scratch,
         has_tri=has_tri, has_sph=has_sph, cull=cull, n_chunks=n_chunks,
+        n_super=n_super,
     )
 
 
-def _wrap_occlude(*refs, has_tri, has_sph, cull, n_chunks):
+def _wrap_occlude(*refs, has_tri, has_sph, cull, n_chunks, n_super):
     ins, out = refs[:19], refs[19]
+    scratch = refs[20] if cull else None
     _occlude_kernel(ins[0], *ins[1:9], *ins[9:19], out_ref=out,
-                    has_tri=has_tri, has_sph=has_sph, cull=cull, n_chunks=n_chunks)
+                    sc_scratch=scratch,
+                    has_tri=has_tri, has_sph=has_sph, cull=cull,
+                    n_chunks=n_chunks, n_super=n_super)
 
 
 @functools.partial(jax.jit, static_argnames=("num_tris", "num_prims"))
-def _occlude_call(cols, prim_rows, chunk_bounds, num_tris, num_prims):
+def _occlude_call(cols, prim_rows, chunk_bounds, super_bounds, num_tris, num_prims):
     g = cols[0].shape[0]  # ray blocks
     grid, ray_spec, prim_spec, out_spec = _specs(g, prim_rows[0].shape[1])
     cull = grid[1] > 1
+    n_super = super_bounds.shape[1] if grid[1] > SC_FACTOR else 1
     kernel = functools.partial(
         _wrap_occlude, has_tri=num_tris > 0, has_sph=num_prims > num_tris,
-        cull=cull, n_chunks=grid[1],
+        cull=cull, n_chunks=grid[1], n_super=n_super,
     )
     out_shape = jax.ShapeDtypeStruct((g, 8, 128), jnp.float32)
     params = pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))
@@ -421,11 +486,13 @@ def _occlude_call(cols, prim_rows, chunk_bounds, num_tris, num_prims):
             grid=grid,
             in_specs=[ray_spec] * 8 + [prim_spec] * 10,
             out_specs=out_spec,
+            scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         )
+        table = jnp.concatenate([chunk_bounds.reshape(-1), super_bounds.reshape(-1)])
         blocked = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             compiler_params=params, interpret=_interpret(),
-        )(chunk_bounds.reshape(-1), *cols, *prim_rows)
+        )(table, *cols, *prim_rows)
     else:
         simple = lambda f: pl.BlockSpec(f.block_shape, lambda i, j: f.index_map(i, j, None), memory_space=pltpu.VMEM)
         blocked = pl.pallas_call(
@@ -456,7 +523,8 @@ def intersect_pallas(geom: FlatGeometry, soa: PrimSoA, o, d, t_max, ignore) -> H
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
     cols = _ray_cols(o, d, t_max, _sorted_ignore(soa, ignore), n_pad)
     t, p, u, v = _trace_call(
-        cols, tuple(soa[:10]), soa.chunk_bounds, soa.num_tris, soa.num_prims
+        cols, tuple(soa[:10]), soa.chunk_bounds, soa.super_bounds,
+        soa.num_tris, soa.num_prims,
     )
     t, p, u, v = t[:n], p[:n], u[:n], v[:n]
     if _has_reorder(soa):
@@ -482,6 +550,7 @@ def occlude_pallas(geom: FlatGeometry, soa: PrimSoA, o, d, t_max, ignore) -> jax
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
     cols = _ray_cols(o, d, t_max, _sorted_ignore(soa, ignore), n_pad)
     blocked = _occlude_call(
-        cols, tuple(soa[:10]), soa.chunk_bounds, soa.num_tris, soa.num_prims
+        cols, tuple(soa[:10]), soa.chunk_bounds, soa.super_bounds,
+        soa.num_tris, soa.num_prims,
     )
     return blocked[:n] > 0.5
