@@ -351,18 +351,28 @@ def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene
         amb_power = float(4.0 * np.pi * (_LUM @ ambient_all)) + 4.0 * np.pi * env_mean_lum
         powers.append(max(amb_power, 1e-6))
 
-    # emissive geometry census (LightCollection.cs:23 analogue)
+    # emissive geometry census (LightCollection.cs:23 analogue), vectorized
+    # over the material-id arrays (a python per-prim loop costs minutes on
+    # multi-hundred-k-triangle scenes)
     emissive_prims = []
     tri_area = 0.5 * np.linalg.norm(np.cross(geom_np["tri_e1"], geom_np["tri_e2"]), axis=-1)
-    for p in range(num_tris):
-        m, _ = materials[geom_np["tri_mat"][p]]
-        if isinstance(m, mat_mod.Emissive) and m.power > 0.0:
-            emissive_prims.append((p, float(m.power * tri_area[p] * np.pi)))
-    for s in range(geom_np["sph_center"].shape[0]):
-        m, _ = materials[geom_np["sph_mat"][s]]
-        if isinstance(m, mat_mod.Emissive) and m.power > 0.0:
-            area = 4.0 * np.pi * float(geom_np["sph_radius"][s]) ** 2
-            emissive_prims.append((num_tris + s, float(m.power * area * np.pi)))
+    mat_power = np.asarray(
+        [
+            m.power if isinstance(m, mat_mod.Emissive) else 0.0
+            for m, _ in materials
+        ],
+        np.float64,
+    )
+    tri_power = mat_power[geom_np["tri_mat"]]
+    for p in np.nonzero(tri_power > 0.0)[0]:
+        emissive_prims.append((int(p), float(tri_power[p] * tri_area[p] * np.pi)))
+    if geom_np["sph_center"].shape[0]:
+        sph_power = mat_power[geom_np["sph_mat"]]
+        sph_area = 4.0 * np.pi * geom_np["sph_radius"].astype(np.float64) ** 2
+        for s in np.nonzero(sph_power > 0.0)[0]:
+            emissive_prims.append(
+                (num_tris + int(s), float(sph_power[s] * sph_area[s] * np.pi))
+            )
 
     emissive_light = []
     for p, power in emissive_prims:
