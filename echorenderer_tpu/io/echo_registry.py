@@ -210,6 +210,38 @@ def _build_import_grid(source, args, props, calls):
     return ImportGrid(source.base_dir / str(path))
 
 
+def _build_cloud(source, args, props, calls):
+    from ..textures.procedural import CloudTexture
+
+    kw = {}
+    for name, value in props:
+        if name == "Scale":
+            kw["scale"] = _scalar(value, 4.0)
+        elif name == "Octaves":
+            kw["octaves"] = int(_scalar(value, 6))
+        elif name == "Seed":
+            kw["seed"] = int(_scalar(value, 0))
+        else:
+            raise KeyError(f"echo: unknown CloudTexture property .{name}")
+    return CloudTexture(**kw)
+
+
+def _build_gradient_texture(source, args, props, calls):
+    from ..textures.grids import GradientTexture
+
+    kw = {}
+    for name, value in props:
+        if name == "Start":
+            kw["start"] = tuple(_rgb(value))
+        elif name == "End":
+            kw["end"] = tuple(_rgb(value))
+        elif name == "Axis":
+            kw["axis"] = int(_scalar(value))
+        else:
+            raise KeyError(f"echo: unknown GradientTexture property .{name}")
+    return GradientTexture(**kw)
+
+
 def _light_builder(cls):
     def build(source, args, props, calls):
         light = cls()
@@ -376,6 +408,9 @@ def _make_registry():
         "Pure": _build_pure,
         "CylindricalTexture": _build_cylindrical,
         "ImportGrid": _build_import_grid,
+        "Texture": _build_import_grid,  # bare path syntax alias
+        "CloudTexture": _build_cloud,
+        "GradientTexture": _build_gradient_texture,
         # lights
         "PointLight": _light_builder(lights.PointLight),
         "DirectionalLight": _light_builder(lights.DirectionalLight),

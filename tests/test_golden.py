@@ -1,0 +1,62 @@
+"""Golden-image regression tests: tiny deterministic renders compared
+against committed snapshots. The CPU platform + counter-based RNG make the
+images reproducible; regenerate with
+    python tests/test_golden.py --regen
+after INTENTIONAL estimator changes (and eyeball the diff first)."""
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+GOLDEN_DIR = Path(__file__).parent / "golden"
+
+
+def _render(name):
+    from echorenderer_tpu.models import scenes
+    from echorenderer_tpu.processes.render import _sample_frame_jit
+    from echorenderer_tpu.scene.prepare import prepare_scene
+
+    cfg = {
+        "cornell": (scenes.cornell_box, (32, 24), 8, 4),
+        "spheres": (lambda: scenes.sphere_field(80), (32, 18), 4, 6),
+        "material_ball": (scenes.material_ball, (32, 18), 4, 6),
+    }[name]
+    maker, res, spp, bounce = cfg
+    prepared = prepare_scene(maker())
+    s_sum, _ = _sample_frame_jit(
+        prepared, "path", res, 0, jnp.asarray(0, jnp.uint32), spp, bounce, 2.5
+    )
+    return (np.asarray(s_sum) / spp).reshape(res[1], res[0], 3)
+
+
+NAMES = ["cornell", "spheres", "material_ball"]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_golden(name):
+    path = GOLDEN_DIR / f"{name}.npy"
+    if not path.exists():
+        pytest.skip(f"no golden for {name}; run --regen")
+    img = _render(name)
+    ref = np.load(path)
+    assert img.shape == ref.shape
+    # bitwise stability is too strict across jax/XLA versions; demand the
+    # distribution matches tightly instead
+    diff = np.abs(img - ref)
+    assert diff.mean() < 5e-3, f"mean diff {diff.mean():.5f}"
+    assert np.abs(img.mean() - ref.mean()) < 2e-3
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--regen" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        GOLDEN_DIR.mkdir(exist_ok=True)
+        for n in NAMES:
+            np.save(GOLDEN_DIR / f"{n}.npy", _render(n))
+            print("wrote", n)
