@@ -178,3 +178,27 @@ def euler_to_quaternion(angles_deg) -> jnp.ndarray:
 
     q = mul(mul(qy, qx), qz)
     return jnp.asarray(q / np.linalg.norm(q), dtype=jnp.float32)
+
+
+def kahan_sum(values, axis=0):
+    """Compensated (Kahan-Neumaier) summation along an axis — the numerical
+    role of the reference's `Summation` struct (Common/Mathematics/
+    Primitives/Summation.cs:58, used by its Accumulator). Implemented as a
+    scan so XLA keeps the compensation term in registers."""
+    import jax
+
+    values = jnp.moveaxis(jnp.asarray(values), axis, 0)
+
+    def step(carry, v):
+        total, comp = carry
+        t = total + v
+        # Neumaier: pick the compensation branch by magnitude
+        comp = comp + jnp.where(
+            jnp.abs(total) >= jnp.abs(v), (total - t) + v, (v - t) + total
+        )
+        return (t, comp), None
+
+    (total, comp), _ = jax.lax.scan(
+        step, (jnp.zeros_like(values[0]), jnp.zeros_like(values[0])), values
+    )
+    return total + comp

@@ -214,3 +214,72 @@ class TestColors:
     def test_parse_rgb(self):
         c = colors.parse_color("rgb(255, 255, 255)")
         np.testing.assert_allclose(c, [1.0, 1.0, 1.0, 1.0], atol=1e-6)
+
+
+class TestKahanSum:
+    def test_compensated_beats_naive(self):
+        """Port of the reference SummationTests: summing many tiny values
+        onto a large one must not lose them."""
+        import numpy as np
+        from echorenderer_tpu.utils import vec
+
+        n = 4096
+        vals = np.full(n, 0.0001, np.float32)
+        vals[0] = 1e4
+        exact = 1e4 + 0.0001 * (n - 1)
+        kahan = float(vec.kahan_sum(jnp.asarray(vals)))
+        naive = float(jnp.sum(jnp.asarray(vals)))
+        assert abs(kahan - exact) < abs(naive - exact)
+        np.testing.assert_allclose(kahan, exact, rtol=1e-7)
+
+    def test_batched(self):
+        import numpy as np
+        from echorenderer_tpu.utils import vec
+
+        rs = np.random.RandomState(0)
+        x = rs.uniform(-1, 1, (256, 3)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(vec.kahan_sum(jnp.asarray(x))), x.astype(np.float64).sum(0),
+            rtol=1e-6,
+        )
+
+
+class TestCameras:
+    def test_orthographic_parallel_rays(self):
+        import numpy as np
+        from echorenderer_tpu.scene import OrthographicCamera, Scene
+        from echorenderer_tpu.scene.prepare import prepare_scene
+        from echorenderer_tpu.scene.cameras import spawn_rays
+        from echorenderer_tpu.scene import SphereEntity
+        from echorenderer_tpu.scene.materials import Diffuse
+
+        s = Scene()
+        s.add(SphereEntity(material=Diffuse()))
+        s.add(OrthographicCamera(width=4.0, position=(0, 0, -5)))
+        prep = prepare_scene(s)
+        xy = jnp.asarray([[0, 0], [31, 23], [15, 12]], jnp.int32)
+        shift = jnp.full((3, 2), 0.5)
+        o, d = spawn_rays(prep.camera, xy, shift, shift, (32, 24))
+        # all directions identical (parallel projection), origins differ
+        np.testing.assert_allclose(np.asarray(d[0]), np.asarray(d[1]), atol=1e-6)
+        assert np.abs(np.asarray(o[0]) - np.asarray(o[1])).max() > 1.0
+
+    def test_cylindrical_covers_azimuth(self):
+        import numpy as np
+        from echorenderer_tpu.scene import CylindricalCamera, Scene, SphereEntity
+        from echorenderer_tpu.scene.materials import Diffuse
+        from echorenderer_tpu.scene.prepare import prepare_scene
+        from echorenderer_tpu.scene.cameras import spawn_rays
+
+        s = Scene()
+        s.add(SphereEntity(material=Diffuse()))
+        s.add(CylindricalCamera(position=(0, 0, 0)))
+        prep = prepare_scene(s)
+        w = 64
+        xy = jnp.stack([jnp.arange(w, dtype=jnp.int32), jnp.full(w, 16, jnp.int32)], -1)
+        shift = jnp.full((w, 2), 0.5)
+        o, d = spawn_rays(prep.camera, xy, shift, shift, (w, 32))
+        # a horizontal scanline sweeps the full 360 degrees of azimuth
+        phi = np.unwrap(np.arctan2(np.asarray(d[:, 0]), np.asarray(d[:, 2])))
+        assert abs(abs(phi[-1] - phi[0]) - 2 * np.pi * (w - 1) / w) < 0.1
+        np.testing.assert_allclose(np.asarray(o), 0.0, atol=1e-6)
