@@ -32,7 +32,6 @@ from ..ops.intersect import (
     Hit,
     ray_sphere,
     ray_triangle,
-    sphere_uv,
 )
 
 LEAF_MAX = 4  # max primitives per leaf
@@ -239,12 +238,7 @@ def _leaf_intersect(geom: FlatGeometry, bvh: FlatBVH, o, d, code, best, any_hit_
             blocked |= valid & (t < any_hit_tmax)
         else:
             closer = valid & (t < best_t)
-            if num_sph:
-                point = o + d * t[:, None]
-                suv = sphere_uv(point - geom.sph_center[si], geom.sph_radius[si])
-            else:
-                suv = jnp.zeros((o.shape[0], 2))
-            uv = jnp.where(is_tri[:, None], jnp.stack([u, v], axis=-1), suv)
+            uv = jnp.stack([u, v], axis=-1)  # sphere uv derived in interact()
             best_t = jnp.where(closer, t, best_t)
             best_prim = jnp.where(closer, pid, best_prim)
             best_uv = jnp.where(closer[:, None], uv, best_uv)

@@ -104,7 +104,9 @@ def interact(scene: PreparedScene, hit: Hit, o, d) -> Contact:
     One packed row gather per prim + one per material (the TPU analogue of
     the reference's contiguous PreparedTriangle reads)."""
     prim = jnp.maximum(hit.prim, 0)
-    row = scene.shade_pack[prim]  # (N, 24) — the one geometry gather
+    # one-hot matmul lookups: small-table row gathers run at ~1-2 GiB/s on
+    # TPU while the MXU does the same lookup ~3x faster and exactly
+    row = vec.small_table_lookup(scene.shade_pack, prim)  # (N, 24)
     is_sph = row[..., 20] > 0.5
 
     point = o + d * hit.t[..., None]
@@ -123,11 +125,14 @@ def interact(scene: PreparedScene, hit: Hit, o, d) -> Contact:
     sph_geo = vec.normalize(point - row[..., 0:3])
     geo_n = jnp.where(is_sph[..., None], sph_geo, tri_geo)
     shade_n = jnp.where(is_sph[..., None], sph_geo, tri_shade)
-    uv_out = jnp.where(is_sph[..., None], hit.uv, tri_uv)
+    from ..ops.intersect import sphere_uv
+
+    sph_uv = sphere_uv(point - row[..., 0:3], row[..., 3])
+    uv_out = jnp.where(is_sph[..., None], sph_uv, tri_uv)
     mat_id = row[..., 18].astype(jnp.int32)
 
     m = scene.materials
-    mrow = scene.mat_pack[mat_id]  # (N, 16) — the one material gather
+    mrow = vec.small_table_lookup(scene.mat_pack, mat_id)  # (N, 16)
     albedo = mrow[..., 0:3]
     if scene.tex_atlas.shape[0]:  # textured albedos: one bilinear atlas gather
         tid = mrow[..., 11].astype(jnp.int32)
@@ -286,8 +291,8 @@ def sample_light(scene: PreparedScene, record, x, u2) -> LightSample:
     g = scene.geometry
     n = x.shape[0]
     record = jnp.maximum(record, 0)
-    kind = lt.kind[record]
-    index = lt.index[record]
+    kind = vec.small_table_lookup(lt.kind, record)
+    index = vec.small_table_lookup(lt.index, record)
 
     # --- point light ---
     if lt.point_pos.shape[0]:
@@ -324,8 +329,8 @@ def sample_light(scene: PreparedScene, record, x, u2) -> LightSample:
     # --- emissive triangle/sphere (one packed row gather) ---
     if lt.emissive_prim.shape[0]:
         ei = jnp.clip(index, 0, lt.emissive_prim.shape[0] - 1)
-        prim = lt.emissive_prim[ei]
-        erow = scene.emissive_pack[ei]  # (N, 20)
+        prim = vec.small_table_lookup(lt.emissive_prim, ei)
+        erow = vec.small_table_lookup(scene.emissive_pack, ei)  # (N, 20)
         is_sph_e = erow[..., 16] > 0.5
 
         bary = rng_mod.uniform_triangle(u2)
@@ -384,7 +389,7 @@ def area_light_pdf(scene: PreparedScene, prim, origin, point, geo_normal, direct
     """Solid-angle pdf of NEE having sampled `direction` toward the emissive
     `prim` hit at `point` (reference PreparedScene.ProbabilityDensity)."""
     prim_c = jnp.maximum(prim, 0)
-    area = scene.shade_pack[prim_c, 19]  # precomputed per-prim area
+    area = vec.small_table_lookup(scene.shade_pack[:, 19], prim_c)  # per-prim area
     delta = point - origin
     dist2 = jnp.maximum(vec.length_squared(delta), 1e-12)
     cos_l = jnp.abs(vec.dot(geo_normal, direction))

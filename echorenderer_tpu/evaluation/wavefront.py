@@ -112,7 +112,9 @@ def sample_frame_wavefront(
         # --- emission at the hit, MIS-weighted against NEE ---
         emitted = scene_ops.emission_at(scene, contact, -st["d"])
         if enable_fwd_mis and enable_nee:
-            hit_light = scene.lights.prim_light[jnp.maximum(hit.prim, 0)]
+            hit_light = vec.small_table_lookup(
+                scene.lights.prim_light, jnp.maximum(hit.prim, 0)
+            )
             light_pm = scene_ops.light_pmf(scene, hit_light, st["prev_point"])
             fwd_pdf = light_pm * scene_ops.area_light_pdf(
                 scene, hit.prim, st["prev_point"], contact.point, contact.geo_normal, st["d"]

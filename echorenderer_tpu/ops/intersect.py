@@ -29,7 +29,7 @@ class Hit(NamedTuple):
 
     t: jax.Array  # (N,) distance, INF on miss
     prim: jax.Array  # (N,) int32 primitive id, -1 on miss
-    uv: jax.Array  # (N, 2) barycentric (triangles) / local (spheres)
+    uv: jax.Array  # (N, 2) triangle barycentrics (spheres: see interact())
 
     @property
     def found(self) -> jax.Array:
@@ -173,10 +173,6 @@ def intersect_linear(geom: FlatGeometry, o, d, t_max, ignore) -> Hit:
         best_prim = jnp.where(
             closer, j.astype(jnp.int32) + geom.num_triangles, best_prim
         )
-        point = o + d * tj[:, None]
-        center = geom.sph_center[j]
-        uv = sphere_uv(point - center, geom.sph_radius[j])
-        best_uv = jnp.where(closer[:, None], uv, best_uv)
         best_t = jnp.where(closer, tj, best_t)
 
     return Hit(t=best_t, prim=best_prim, uv=best_uv)

@@ -31,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .intersect import INF, FlatGeometry, Hit, sphere_uv
+from .intersect import INF, FlatGeometry, Hit
 
 _INF = 3.4e38  # python floats: jnp scalars would be captured consts in the kernel
 _EPS = 2.4e-4  # RAY_EPSILON
@@ -533,15 +533,10 @@ def intersect_pallas(geom: FlatGeometry, soa: PrimSoA, o, d, t_max, ignore) -> H
     else:
         prim = jnp.where(p >= 0.0, p, -1.0).astype(jnp.int32)
     found = prim >= 0
-    # sphere uv computed post-hoc for the single best hit per lane
-    is_sph = found & (prim >= soa.num_tris)
-    if geom.num_spheres:
-        si = jnp.clip(prim - soa.num_tris, 0, geom.num_spheres - 1)
-        point = o + d * t[:, None]
-        suv = sphere_uv(point - geom.sph_center[si], geom.sph_radius[si])
-        uv = jnp.where(is_sph[:, None], suv, jnp.stack([u, v], axis=-1))
-    else:
-        uv = jnp.stack([u, v], axis=-1)
+    # Hit.uv carries triangle barycentrics only; sphere uv parameterization
+    # happens in interact() from the packed shading row (computing it here
+    # cost two full-width small-table gathers per trace — 30% of a frame)
+    uv = jnp.stack([u, v], axis=-1)
     return Hit(t=jnp.where(found, t, INF), prim=jnp.where(found, prim, -1), uv=uv)
 
 

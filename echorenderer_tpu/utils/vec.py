@@ -202,3 +202,34 @@ def kahan_sum(values, axis=0):
         step, (jnp.zeros_like(values[0]), jnp.zeros_like(values[0])), values
     )
     return total + comp
+
+
+def small_table_lookup(table, idx, *, max_rows: int = 2048):
+    """Gather rows of a SMALL table by index — as a one-hot matmul on the
+    MXU. TPU row-gathers from small tables run at ~1-2 GiB/s (scalar row
+    copies); a (N, K) one-hot times (K, D) table runs at matmul speed and
+    is exact (one-hot entries are exact in bfloat16, each output sums one
+    product). Falls back to a plain gather for big tables, where gathers
+    amortize properly."""
+    table = jnp.asarray(table)
+    squeeze = table.ndim == 1
+    t2 = table[:, None] if squeeze else table
+    k = t2.shape[0]
+    if k > max_rows or idx.shape[0] < 4096:
+        out = table[idx]
+        return out
+    import jax
+
+    onehot = (
+        idx[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    ).astype(jnp.float32)  # f32: bf16 would downcast the table operand
+    vals = jnp.dot(
+        onehot, t2.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # exact (bit-equal to a gather)
+    )
+    if jnp.issubdtype(table.dtype, jnp.integer):
+        vals = jnp.round(vals).astype(table.dtype)
+    else:
+        vals = vals.astype(table.dtype)
+    return vals[:, 0] if squeeze else vals

@@ -67,8 +67,10 @@ def test_trace_matches_linear(num_tris, num_spheres, order):
     np.testing.assert_allclose(
         np.asarray(h.t)[both], np.asarray(r.t)[both], rtol=1e-4
     )
+    # uv carries triangle barycentrics only (sphere uv derives in interact)
+    tri = both & (np.asarray(h.prim) < num_tris)
     np.testing.assert_allclose(
-        np.asarray(h.uv)[both], np.asarray(r.uv)[both], atol=1e-4
+        np.asarray(h.uv)[tri], np.asarray(r.uv)[tri], atol=1e-4
     )
 
 
