@@ -88,8 +88,14 @@ def build_prim_soa(geom: FlatGeometry, order: np.ndarray | None = None) -> PrimS
     t = geom.num_triangles
     s = geom.num_spheres
     p = t + s
-    pad = -(-max(p, 1) // PRIM_BLOCK) * PRIM_BLOCK
-    if order is None or len(order) != p or pad // PRIM_BLOCK == 1:
+    # prims sit on SUBLANES in the kernel, so a single-chunk scene only
+    # needs 8-alignment (82 prims pad to 88, not 128 — 31% less work);
+    # multi-chunk scenes pad to the chunk size
+    if p <= PRIM_BLOCK:
+        pad = -(-max(p, 1) // 8) * 8
+    else:
+        pad = -(-p // PRIM_BLOCK) * PRIM_BLOCK
+    if order is None or len(order) != p or pad <= PRIM_BLOCK:
         # single chunk: culling never fires, keep identity (skips the
         # sorted<->original id gathers on every trace)
         order = np.arange(p, dtype=np.int32)
@@ -118,7 +124,7 @@ def build_prim_soa(geom: FlatGeometry, order: np.ndarray | None = None) -> PrimS
     # per-prim AABBs in sorted order -> per-chunk bounds
     lo = np.where(is_sph[:, None] > 0.5, a - b[:, :1], np.minimum(np.minimum(a, a + b), a + c))
     hi = np.where(is_sph[:, None] > 0.5, a + b[:, :1], np.maximum(np.maximum(a, a + b), a + c))
-    n_chunks = pad // PRIM_BLOCK
+    n_chunks = max(1, pad // PRIM_BLOCK)
     cb = np.zeros((8, n_chunks), np.float32)
     cb[0:3] = 1e30
     cb[3:6] = -1e30
@@ -399,9 +405,10 @@ def _ray_cols(o, d, t_max, ignore, n_pad):
 
 def _specs(g, padded_prims):
     # with scalar prefetch, index maps get the prefetch ref appended last
-    grid = (g, padded_prims // PRIM_BLOCK)
+    grid = (g, max(1, padded_prims // PRIM_BLOCK))
+    block_p = padded_prims if grid[1] == 1 else PRIM_BLOCK
     ray_spec = pl.BlockSpec((1, 8, 128), lambda i, j, cb: (i, 0, 0), memory_space=pltpu.VMEM)
-    prim_spec = pl.BlockSpec((1, PRIM_BLOCK), lambda i, j, cb: (0, j), memory_space=pltpu.VMEM)
+    prim_spec = pl.BlockSpec((1, block_p), lambda i, j, cb: (0, j), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, 8, 128), lambda i, j, cb: (i, 0, 0), memory_space=pltpu.VMEM)
     return grid, ray_spec, prim_spec, out_spec
 
@@ -507,7 +514,7 @@ def _occlude_call(cols, prim_rows, chunk_bounds, super_bounds, num_tris, num_pri
 
 
 def _has_reorder(soa: PrimSoA) -> bool:
-    return soa.padded // PRIM_BLOCK > 1  # identity order otherwise
+    return soa.padded > PRIM_BLOCK  # identity order otherwise
 
 
 def _sorted_ignore(soa: PrimSoA, ignore):
