@@ -288,20 +288,20 @@ def _trace_kernel(cb_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r, ign_r,
         um = jnp.sum(jnp.where(sel & (pid == pm), u, 0.0), axis=0, keepdims=True)
         vm = jnp.sum(jnp.where(sel & (pid == pm), v, 0.0), axis=0, keepdims=True)
         closer = tm < best_t
-        t_out[:] = jnp.where(closer, tm, best_t).reshape(1, 8, 128)
-        prim_out[:] = jnp.where(closer, pm, best_p).reshape(1, 8, 128)
-        u_out[:] = jnp.where(closer, um, best_u).reshape(1, 8, 128)
-        v_out[:] = jnp.where(closer, vm, best_v).reshape(1, 8, 128)
+        t_out[:] = jnp.where(closer, tm, best_t).reshape(1, RAY_BLOCK // 128, 128)
+        prim_out[:] = jnp.where(closer, pm, best_p).reshape(1, RAY_BLOCK // 128, 128)
+        u_out[:] = jnp.where(closer, um, best_u).reshape(1, RAY_BLOCK // 128, 128)
+        v_out[:] = jnp.where(closer, vm, best_v).reshape(1, RAY_BLOCK // 128, 128)
 
     if not cull:  # static: single-chunk scenes skip the packet test
         merge()
         return
 
     def write_current():  # keep the running best when this chunk is skipped
-        t_out[:] = best_t.reshape(1, 8, 128)
-        prim_out[:] = best_p.reshape(1, 8, 128)
-        u_out[:] = best_u.reshape(1, 8, 128)
-        v_out[:] = best_v.reshape(1, 8, 128)
+        t_out[:] = best_t.reshape(1, RAY_BLOCK // 128, 128)
+        prim_out[:] = best_p.reshape(1, RAY_BLOCK // 128, 128)
+        u_out[:] = best_u.reshape(1, RAY_BLOCK // 128, 128)
+        v_out[:] = best_v.reshape(1, RAY_BLOCK // 128, 128)
 
     if n_super > 1:
         # level 2: test the SC_FACTOR-chunk group once; misses reduce the
@@ -347,14 +347,14 @@ def _occlude_kernel(cb_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r, ign_r,
         t, _, _, _ = _chunk_hits(prim_refs[:10], k_base, ox, oy, oz, dx, dy, dz,
                                  ignore_f, has_tri, has_sph)
         hit = jnp.any(t < tmax, axis=0, keepdims=True)
-        out_ref[:] = jnp.where(hit, 1.0, prev).reshape(1, 8, 128)
+        out_ref[:] = jnp.where(hit, 1.0, prev).reshape(1, RAY_BLOCK // 128, 128)
 
     if not cull:
         merge()
         return
 
     def write_current():
-        out_ref[:] = prev.reshape(1, 8, 128)
+        out_ref[:] = prev.reshape(1, RAY_BLOCK // 128, 128)
 
     # skip the chunk unless an unblocked ray could hit its box within tmax
     limit = jnp.where(prev > 0.5, -1.0, tmax)
@@ -391,7 +391,7 @@ def _ray_cols(o, d, t_max, ignore, n_pad):
         x = jnp.asarray(x, jnp.float32)
         x = jnp.broadcast_to(x, (n,))
         x = jnp.pad(x, (0, n_pad - n), constant_values=fill)
-        return x.reshape(-1, 8, 128)
+        return x.reshape(-1, RAY_BLOCK // 128, 128)
 
     return (
         col(o[:, 0]), col(o[:, 1]), col(o[:, 2]),
@@ -407,9 +407,9 @@ def _specs(g, padded_prims):
     # with scalar prefetch, index maps get the prefetch ref appended last
     grid = (g, max(1, padded_prims // PRIM_BLOCK))
     block_p = padded_prims if grid[1] == 1 else PRIM_BLOCK
-    ray_spec = pl.BlockSpec((1, 8, 128), lambda i, j, cb: (i, 0, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((1, RAY_BLOCK // 128, 128), lambda i, j, cb: (i, 0, 0), memory_space=pltpu.VMEM)
     prim_spec = pl.BlockSpec((1, block_p), lambda i, j, cb: (0, j), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 8, 128), lambda i, j, cb: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, RAY_BLOCK // 128, 128), lambda i, j, cb: (i, 0, 0), memory_space=pltpu.VMEM)
     return grid, ray_spec, prim_spec, out_spec
 
 
@@ -423,7 +423,7 @@ def _trace_call(cols, prim_rows, chunk_bounds, super_bounds, num_tris, num_prims
         _wrap_trace, has_tri=num_tris > 0, has_sph=num_prims > num_tris,
         cull=cull, n_chunks=grid[1], n_super=n_super,
     )
-    out_shape = [jax.ShapeDtypeStruct((g, 8, 128), jnp.float32)] * 4
+    out_shape = [jax.ShapeDtypeStruct((g, RAY_BLOCK // 128, 128), jnp.float32)] * 4
     params = pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))
     if cull:
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -485,7 +485,7 @@ def _occlude_call(cols, prim_rows, chunk_bounds, super_bounds, num_tris, num_pri
         _wrap_occlude, has_tri=num_tris > 0, has_sph=num_prims > num_tris,
         cull=cull, n_chunks=grid[1], n_super=n_super,
     )
-    out_shape = jax.ShapeDtypeStruct((g, 8, 128), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((g, RAY_BLOCK // 128, 128), jnp.float32)
     params = pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))
     if cull:
         grid_spec = pltpu.PrefetchScalarGridSpec(
