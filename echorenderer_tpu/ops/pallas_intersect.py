@@ -294,7 +294,17 @@ def _trace_kernel(cb_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r, ign_r,
         v_out[:] = jnp.where(closer, vm, best_v).reshape(1, RAY_BLOCK // 128, 128)
 
     if not cull:  # static: single-chunk scenes skip the packet test
-        merge()
+        # occupancy gate: regeneration tails leave whole ray blocks dead
+        # (t_max <= 0); skip their intersection outright
+        alive = jnp.any(_row(tmax_r) > 0.0)
+        pl.when(alive)(merge)
+
+        @pl.when(~alive)
+        def _():
+            t_out[:] = best_t.reshape(1, RAY_BLOCK // 128, 128)
+            prim_out[:] = best_p.reshape(1, RAY_BLOCK // 128, 128)
+            u_out[:] = best_u.reshape(1, RAY_BLOCK // 128, 128)
+            v_out[:] = best_v.reshape(1, RAY_BLOCK // 128, 128)
         return
 
     def write_current():  # keep the running best when this chunk is skipped
@@ -305,11 +315,12 @@ def _trace_kernel(cb_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r, ign_r,
 
     if n_super > 1:
         # level 2: test the SC_FACTOR-chunk group once; misses reduce the
-        # whole group to one scalar branch per chunk
+        # whole group to one scalar branch per chunk. The group test also
+        # carries the occupancy gate (dead ray blocks have t_max <= 0).
         @pl.when(j % SC_FACTOR == 0)
         def _():
             sc = j // SC_FACTOR
-            sc_hit = _block_box_hit(
+            sc_hit = jnp.any(best_t > 0.0) & _block_box_hit(
                 cb_ref, n_super, sc, ox, oy, oz, dx, dy, dz, best_t,
                 base=8 * n_chunks,
             )
@@ -350,7 +361,12 @@ def _occlude_kernel(cb_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r, ign_r,
         out_ref[:] = jnp.where(hit, 1.0, prev).reshape(1, RAY_BLOCK // 128, 128)
 
     if not cull:
-        merge()
+        alive = jnp.any(tmax > 0.0)
+        pl.when(alive)(merge)
+
+        @pl.when(~alive)
+        def _():
+            out_ref[:] = prev.reshape(1, RAY_BLOCK // 128, 128)
         return
 
     def write_current():
@@ -362,7 +378,7 @@ def _occlude_kernel(cb_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r, tmax_r, ign_r,
         @pl.when(j % SC_FACTOR == 0)
         def _():
             sc = j // SC_FACTOR
-            sc_hit = _block_box_hit(
+            sc_hit = jnp.any(limit > 0.0) & _block_box_hit(
                 cb_ref, n_super, sc, ox, oy, oz, dx, dy, dz, limit,
                 base=8 * n_chunks,
             )
