@@ -150,3 +150,39 @@ class TestEndToEnd:
         out = render(prepared, prof)
         assert out["albedo"].shape == (12, 16, 3)
         assert np.isfinite(out["albedo"]).all()
+
+
+class TestRepoScenes:
+    """The .echo files shipped in scenes/ must parse and construct."""
+
+    @pytest.mark.parametrize("name", ["cornell.echo", "showcase.echo"])
+    def test_scene_files_construct(self, name):
+        from pathlib import Path
+
+        from echorenderer_tpu.processes.render import RenderProfile
+        from echorenderer_tpu.scene.entities import Scene
+
+        path = Path(__file__).parent.parent / "scenes" / name
+        src = EchoSource(path)
+        scene = src.construct_first(Scene)
+        assert len(scene.children) > 2
+        prof = src.construct_first(RenderProfile)
+        assert prof.scene is scene or prof.scene is None or isinstance(prof.scene, Scene)
+
+    def test_showcase_renders(self):
+        from pathlib import Path
+
+        from echorenderer_tpu.processes.render import render
+        from echorenderer_tpu.scene.prepare import prepare_scene
+
+        path = Path(__file__).parent.parent / "scenes" / "showcase.echo"
+        src = EchoSource(path)
+        prof = src.construct("fast")
+        prof.resolution = (24, 16)
+        prof.evaluations[0].samples_per_epoch = 2
+        prof.evaluations[0].max_epoch = 1
+        prof.evaluations[0].bounce_limit = 3
+        prepared = prepare_scene(prof.scene)
+        assert prepared.tex_atlas.shape[0] >= 2  # cloud + gradient textures
+        out = render(prepared, prof)
+        assert np.isfinite(out["main"]).all()
