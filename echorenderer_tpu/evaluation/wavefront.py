@@ -59,7 +59,10 @@ def sample_frame_wavefront(
     return_stats: bool = False,
 ):
     """Accumulate `count` path samples per pixel lane. Returns
-    (sum, sum_sq) of shape (N, 3) (+ iteration count if return_stats).
+    (sum, sum_sq) of shape (N, 3); with return_stats also a dict of named
+    event counters — the device-side analogue of the reference's generated
+    EvaluatorStatistics (Evaluation/Evaluators/EvaluatorStatistics.cs,
+    labels in the reference's Report("...") style).
     The enable_* flags exist for ablation/debugging only."""
     n = pixel_id.shape[0]
     f3 = lambda: jnp.zeros((n, 3), jnp.float32)
@@ -94,6 +97,8 @@ def sample_frame_wavefront(
         prev_point=o0,
         ignore=jnp.full((n,), -1, jnp.int32),
         iters=jnp.zeros((), jnp.int32),
+        # named event counters, summed across lanes (see `stats` below)
+        counters=jnp.zeros((6,), jnp.float32),
     )
 
     def cond(st):
@@ -228,9 +233,32 @@ def sample_frame_wavefront(
             prev_point=sel(respawn, cam_o, contact.point),
             ignore=jnp.where(respawn, -1, jnp.maximum(hit.prim, 0)),
             iters=st["iters"] + 1,
+            counters=st["counters"]
+            + jnp.stack(
+                [
+                    jnp.sum(live.astype(jnp.float32)),  # Ray/Traced
+                    jnp.sum(candidate.astype(jnp.float32))
+                    if enable_nee
+                    else 0.0,  # Ray/Shadow
+                    jnp.sum(bank.astype(jnp.float32)),  # Sample/Completed
+                    jnp.sum((path_done & ~finite).astype(jnp.float32)),  # Sample/Rejected
+                    jnp.sum(found.astype(jnp.float32)),  # Bounce/Created
+                    jnp.sum((has_bounce & ~survived).astype(jnp.float32)),  # Path/RRKilled
+                ]
+            ),
         )
 
     state = jax.lax.while_loop(cond, body, state)
     if return_stats:
-        return state["s_sum"], state["s_sq"], state["iters"]
+        stats = dict(
+            zip(
+                [
+                    "Ray/Traced", "Ray/Shadow", "Sample/Completed",
+                    "Sample/Rejected", "Bounce/Created", "Path/RRKilled",
+                ],
+                state["counters"],
+            )
+        )
+        stats["Loop/Iterations"] = state["iters"]
+        return state["s_sum"], state["s_sq"], stats
     return state["s_sum"], state["s_sq"]

@@ -94,3 +94,27 @@ class TestAdaptiveSampling:
             progress=progress,
         )
         assert info["epochs"] == 1
+
+
+class TestWavefrontStatistics:
+    def test_named_counters(self, cornell):
+        """Device-side event counters (the reference's EvaluatorStatistics
+        role): sample counts exact, ray counts plausible."""
+        import functools
+
+        import jax
+
+        from echorenderer_tpu.evaluation.wavefront import sample_frame_wavefront
+
+        n = 16 * 12
+        pid = jnp.arange(n, dtype=jnp.uint32)
+        pxy = jnp.stack([(pid % 16).astype(jnp.int32), (pid // 16).astype(jnp.int32)], -1)
+        f = jax.jit(
+            functools.partial(sample_frame_wavefront, bounce_limit=4, return_stats=True),
+            static_argnames=("resolution", "count"),
+        )
+        _, _, stats = f(cornell, pid, pxy, (16, 12), 0, jnp.uint32(0), 4)
+        assert float(stats["Sample/Completed"]) + float(stats["Sample/Rejected"]) == n * 4
+        assert float(stats["Ray/Traced"]) >= n * 4  # at least one segment per sample
+        assert float(stats["Bounce/Created"]) > 0
+        assert int(stats["Loop/Iterations"]) > 0
