@@ -30,8 +30,9 @@ from ..ops.intersect import (
     RAY_EPSILON,
     FlatGeometry,
     Hit,
-    ray_sphere,
+    ray_sphere_roots,
     ray_triangle,
+    sphere_pick_root,
 )
 
 LEAF_MAX = 4  # max primitives per leaf
@@ -222,17 +223,25 @@ def _leaf_intersect(geom: FlatGeometry, bvh: FlatBVH, o, d, code, best, any_hit_
             u = v = jnp.zeros(o.shape[0])
             tv = jnp.zeros(o.shape[0], bool)
 
-        # sphere candidate
+        # sphere candidate — ignored spheres take the far root (findFar,
+        # SphereEntity.cs:88); ignored triangles are skipped outright
         num_sph = geom.num_spheres
         si = jnp.clip(pid - num_tri, 0, max(num_sph - 1, 0))
         if num_sph:
-            t_s, sv = ray_sphere(o, d, geom.sph_center[si], geom.sph_radius[si])
+            t_n, t_f, sok = ray_sphere_roots(
+                o, d, geom.sph_center[si], geom.sph_radius[si]
+            )
+            t_s, sv = sphere_pick_root(t_n, t_f, sok, pid == ignore)
         else:
             t_s = jnp.full(o.shape[0], INF)
             sv = jnp.zeros(o.shape[0], bool)
 
         t = jnp.where(is_tri, t_t, t_s)
-        valid = live & jnp.where(is_tri, tv, sv) & (t > RAY_EPSILON) & (pid != ignore)
+        valid = (
+            live
+            & jnp.where(is_tri, tv & (pid != ignore), sv)
+            & (t > RAY_EPSILON)
+        )
 
         if any_hit_tmax is not None:
             blocked |= valid & (t < any_hit_tmax)

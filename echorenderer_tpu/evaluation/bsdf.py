@@ -342,15 +342,24 @@ def _dielectric_rough_eval_pdf(mat, wo, wi):
         * g_t
         * jnp.abs(wo_m)
         * jnp.abs(wi_m)
-        / jnp.maximum(_abs_cos(wo) * _abs_cos(wi) * denom_t, 1e-10)
-        / (eta * eta),  # radiance scaling (eta_i/eta_t)^2 folded in
+        / jnp.maximum(_abs_cos(wo) * _abs_cos(wi) * denom_t, 1e-10),
+        # Walter 2007 eq.21 carries an eta_t^2 numerator that the radiance
+        # compression factor (eta_i/eta_t)^2 cancels exactly (PBRT's
+        # MicrofacetTransmission::f in Radiance mode) — so no eta factor
+        # here; the alpha->0 limit then matches _dielectric_smooth_sample.
         0.0,
     )
     pdf_m_t = ggx_g1(wo, alpha) * d_t * jnp.abs(wo_m) / jnp.maximum(_abs_cos(wo), 1e-8)
     pdf_t = jnp.where(valid_t, pdf_m_t * dwh_dwi, 0.0)
 
     value = mat.albedo * (refl_val + trans_val)[..., None]
-    pdf = 0.5 * (pdf_r + pdf_t)  # uniform lobe selection (BSDF.cs Sample)
+    # Fresnel-weighted lobe selection (matches _dielectric_rough_sample):
+    # reflection is picked with probability F, transmission with 1-F. This
+    # keeps microfacet TIR consistent by construction — at TIR F=1, so the
+    # transmission branch has zero probability instead of a mispriced
+    # forced reflection (which doubled the weight of every TIR event and
+    # blew up the furnace test by 3-20x).
+    pdf = pdf_r * f_r + pdf_t * (1.0 - f_t)
     return value, pdf
 
 
@@ -363,8 +372,12 @@ def _dielectric_rough_sample(mat, wo, u, u_lobe):
     wi_r = 2.0 * jnp.sum(wo * m_signed, axis=-1, keepdims=True) * m_signed - wo
     # transmission candidate
     wi_t, ok_t = _refract(wo, m_signed, eta_i, eta_t)
-    pick_reflect = u_lobe < 0.5
-    wi = jnp.where((pick_reflect | ~ok_t)[..., None], wi_r, wi_t)
+    # Fresnel-weighted lobe selection (TIR -> f = 1 -> always reflect),
+    # mirroring the smooth SpecularFresnel and priced identically in
+    # _dielectric_rough_eval_pdf's pdf composition
+    f, _, _ = fresnel_dielectric(jnp.sum(wo * m_signed, axis=-1), eta_i, eta_t)
+    pick_reflect = (u_lobe < f) | ~ok_t
+    wi = jnp.where(pick_reflect[..., None], wi_r, wi_t)
     value, pdf = _dielectric_rough_eval_pdf(mat, wo, wi)
     return BSDFSample(
         incident=wi, value=value, pdf=pdf, specular=jnp.zeros(wo.shape[:-1], bool)

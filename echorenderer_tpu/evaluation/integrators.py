@@ -26,19 +26,20 @@ from ..utils.rng import SampleStream
 from . import bsdf as bsdf_mod
 from . import scene_ops
 
-# dimension indices for the deterministic sample streams; bounce b uses
-# white-noise dims keyed by (BOUNCE_DIM_STRIDE * b + offset)
+# Dimension layout of the deterministic sample streams. The camera owns
+# dims [0, CAMERA_DIMS): 0 = subpixel jitter, 1 = lens sample. Bounce b
+# draws from stratified dims CAMERA_DIMS + BOUNCE_DIM_STRIDE*b + offset,
+# so no bounce draw can ever share a hash key with a camera draw. Both
+# integrators (lockstep path_trace and the wavefront) use the SAME scheme
+# through the shared path_step below — draw-level parity is a tested
+# invariant (tests/test_integrators.py bitwise wavefront==lockstep).
+CAMERA_DIMS = 2
 DIM_BSDF = 0
 DIM_LOBE = 1
 DIM_LIGHT_PICK = 2
 DIM_LIGHT_SAMPLE = 3
 DIM_RR = 4
 BOUNCE_DIM_STRIDE = 8
-# first-bounce draws use low-discrepancy stratified dims (static)
-STRAT_BSDF = 2
-STRAT_LOBE = 3
-STRAT_LIGHT_PICK = 4
-STRAT_LIGHT_SAMPLE = 5
 
 
 def _power_heuristic(pdf0, pdf1):
@@ -54,6 +55,146 @@ def _offset_origin(point, geo_normal, direction):
     return point + geo_normal * side * 1e-4
 
 
+def path_step(
+    scene: PreparedScene,
+    stream: SampleStream,
+    st: dict,
+    live,
+    *,
+    bounce_limit: int,
+    survivability: float,
+    enable_nee: bool = True,
+    enable_fwd_mis: bool = True,
+):
+    """One shared path-tracing iteration — the hot loop of the reference
+    (PathTracedEvaluator.cs:57-147) in wavefront form: trace the pending
+    ray, add MIS-weighted emission / infinite-light radiance, run NEE with
+    a shadow ray, sample the BSDF and apply Russian roulette.
+
+    `st` carries the live path state per lane: radiance, throughput, o, d,
+    depth, prev_pdf, prev_specular, prev_point, ignore. Both the lockstep
+    integrator (path_trace) and the regenerating wavefront
+    (evaluation/wavefront.py) call this exact function, so their per-sample
+    draws AND arithmetic are bit-identical; only the scheduling differs.
+
+    Returns a dict with the updated radiance, the post-bounce throughput
+    (new_tp), the continuation mask/ray (continues, cont_o, wi_world),
+    next-iteration MIS state (bs_pdf, bs_specular, contact_point,
+    hit_prim), and an `aux` dict of event masks for statistics counters.
+    """
+    # --- trace the pending ray (advance) ---
+    seg_t = jnp.where(live, INF, 0.0)
+    hit = scene_ops.trace(scene, st["o"], st["d"], seg_t, st["ignore"])
+    found = live & hit.found
+    contact = scene_ops.interact(scene, hit, st["o"], st["d"])
+
+    # --- emission at the hit, MIS-weighted against NEE ---
+    emitted = scene_ops.emission_at(scene, contact, -st["d"])
+    if enable_fwd_mis and enable_nee:
+        hit_light = vec.small_table_lookup(
+            scene.lights.prim_light, jnp.maximum(hit.prim, 0)
+        )
+        light_pm = scene_ops.light_pmf(scene, hit_light, st["prev_point"])
+        fwd_pdf = light_pm * scene_ops.area_light_pdf(
+            scene, hit.prim, st["prev_point"], contact.point, contact.geo_normal, st["d"]
+        )
+        em_w = jnp.where(
+            st["prev_specular"], 1.0, _power_heuristic(st["prev_pdf"], fwd_pdf)
+        )
+    else:
+        em_w = jnp.ones((hit.prim.shape[0],), jnp.float32)
+    radiance = st["radiance"] + jnp.where(
+        found[..., None], st["throughput"] * emitted * em_w[..., None], 0.0
+    )
+
+    # --- miss: infinite lights, MIS against ambient NEE ---
+    amb_records = scene.lights.kind == LIGHT_AMBIENT
+    amb_pmf = jnp.sum(jnp.where(amb_records, scene.lights.power, 0.0)) / jnp.maximum(
+        jnp.sum(scene.lights.power), 1e-20
+    )
+    inf_pdf = amb_pmf * scene_ops.env_pdf(scene, st["d"])
+    inf_w = jnp.where(st["prev_specular"], 1.0, _power_heuristic(st["prev_pdf"], inf_pdf))
+    escaped = live & ~hit.found
+    is_camera = st["depth"] == 0
+    radiance += jnp.where(
+        escaped[..., None],
+        st["throughput"]
+        * jnp.where(
+            is_camera[..., None],
+            scene_ops.eval_infinite(scene, st["d"], True),
+            scene_ops.eval_infinite(scene, st["d"], False) * inf_w[..., None],
+        ),
+        0.0,
+    )
+
+    # --- shade the found lanes: NEE + BSDF bounce ---
+    wo = -st["d"]
+    tangent, bitangent = vec.orthonormal_frame(contact.shade_normal)
+    wo_local = vec.to_local(wo, tangent, bitangent, contact.shade_normal)
+    dim = CAMERA_DIMS + BOUNCE_DIM_STRIDE * st["depth"]
+    u_bsdf = stream.next_2d(dim + DIM_BSDF)
+    u_lobe = stream.next_1d(dim + DIM_LOBE)
+    u_pick = stream.next_1d(dim + DIM_LIGHT_PICK)
+    u_light = stream.next_2d(dim + DIM_LIGHT_SAMPLE)
+    u_rr = stream.next_1d(dim + DIM_RR)
+
+    bs = bsdf_mod.sample(contact.material, wo_local, u_bsdf, u_lobe)
+    cos_i = jnp.abs(bs.incident[..., 2])
+    has_bounce = found & (bs.pdf > 0.0) & (st["depth"] < bounce_limit)
+
+    # NEE (reference ImportanceSampleRadiant, PathTracedEvaluator.cs:162-207)
+    candidate = jnp.zeros_like(found)
+    if enable_nee:
+        do_nee = found & ~bs.specular
+        record, pick_pmf = scene_ops.pick_light(scene, u_pick, contact.point)
+        ls = scene_ops.sample_light(scene, record, contact.point, u_light)
+        wi_l = vec.to_local(ls.incident, tangent, bitangent, contact.shade_normal)
+        f_l = bsdf_mod.evaluate(contact.material, wo_local, wi_l)
+        f_l = f_l * jnp.abs(vec.dot(contact.shade_normal, ls.incident))[..., None]
+        nee_pdf = pick_pmf * ls.pdf
+        candidate = do_nee & (nee_pdf > 1e-12) & jnp.any(f_l * ls.radiant > 0.0, axis=-1)
+        shadow_o = _offset_origin(contact.point, contact.geo_normal, ls.incident)
+        shadow_t = jnp.where(ls.travel >= INF, INF, ls.travel * (1.0 - 1e-3))
+        shadow_t = jnp.where(candidate, shadow_t, 0.0)
+        blocked = scene_ops.occlude(
+            scene, shadow_o, ls.incident, shadow_t, jnp.maximum(hit.prim, 0)
+        )
+        visible = candidate & ~blocked
+        scatter_pdf_l = bsdf_mod.pdf(contact.material, wo_local, wi_l)
+        mis_w = jnp.where(ls.use_mis, _power_heuristic(nee_pdf, scatter_pdf_l), 1.0)
+        nee = ls.radiant * f_l * (mis_w / jnp.maximum(nee_pdf, 1e-20))[..., None]
+        radiance += jnp.where(visible[..., None], st["throughput"] * nee, 0.0)
+
+    # continue or die (Russian roulette, PathTracedEvaluator.cs:313-320)
+    weight = bs.value * (cos_i / jnp.maximum(bs.pdf, 1e-20))[..., None]
+    new_tp = st["throughput"] * jnp.where(has_bounce[..., None], weight, 1.0)
+    rr = jnp.clip(survivability * colors.luminance(new_tp), 0.0, 1.0)
+    survived = u_rr < rr
+    new_tp = new_tp / jnp.maximum(rr, 1e-20)[..., None]
+    continues = has_bounce & survived
+
+    wi_world = vec.to_world(bs.incident, tangent, bitangent, contact.shade_normal)
+    cont_o = _offset_origin(contact.point, contact.geo_normal, wi_world)
+
+    return dict(
+        radiance=radiance,
+        new_tp=new_tp,
+        continues=continues,
+        cont_o=cont_o,
+        wi_world=wi_world,
+        bs_pdf=bs.pdf,
+        bs_specular=bs.specular,
+        contact_point=contact.point,
+        hit_prim=jnp.maximum(hit.prim, 0),
+        aux=dict(
+            found=found,
+            candidate=candidate,
+            has_bounce=has_bounce,
+            survived=survived,
+        ),
+    )
+
+
 def path_trace(
     scene: PreparedScene,
     stream: SampleStream,
@@ -63,142 +204,48 @@ def path_trace(
     bounce_limit: int = 16,
     survivability: float = 2.5,
 ):
-    """Estimate radiance along camera rays. Returns (radiance (N, 3))."""
+    """Estimate radiance along camera rays: the lockstep integrator — all
+    lanes advance through the bounce loop together under masks. Draw- and
+    arithmetic-identical to the wavefront (shared path_step); used as the
+    A/B reference for the regeneration machinery."""
     n = origin.shape[0]
-
-    hit = scene_ops.trace(scene, origin, direction, INF, jnp.full((n,), -1, jnp.int32))
-    radiance = jnp.where(
-        (~hit.found)[..., None],
-        scene_ops.eval_infinite(scene, direction, True),
-        0.0,
+    st = dict(
+        radiance=jnp.zeros((n, 3), jnp.float32),
+        throughput=jnp.ones((n, 3), jnp.float32),
+        o=origin,
+        d=direction,
+        depth=jnp.zeros((n,), jnp.int32),
+        prev_pdf=jnp.zeros((n,), jnp.float32),
+        prev_specular=jnp.ones((n,), bool),  # camera rays count as specular
+        prev_point=origin,
+        ignore=jnp.full((n,), -1, jnp.int32),
     )
-    throughput = jnp.ones((n, 3), jnp.float32)
-    active = hit.found
-
-    # first-hit emission at full weight (reference: path.ContributeEmissive())
-    contact0 = scene_ops.interact(scene, hit, origin, direction)
-    radiance += jnp.where(
-        active[..., None],
-        throughput * scene_ops.emission_at(scene, contact0, -direction),
-        0.0,
-    )
-
-    def body(depth, state):
-        radiance, throughput, active, o, d, hit = state
-        contact = scene_ops.interact(scene, hit, o, d)
-        wo = -d
-        tangent, bitangent = vec.orthonormal_frame(contact.shade_normal)
-        wo_local = vec.to_local(wo, tangent, bitangent, contact.shade_normal)
-
-        is_first = depth == 0
-        dim = BOUNCE_DIM_STRIDE * depth
-
-        def draw1(strat_dim, white_off):
-            sw = stream.white_1d(dim + white_off)
-            ss = stream.next_1d(strat_dim)
-            return jnp.where(is_first, ss, sw)
-
-        def draw2(strat_dim, white_off):
-            sw = stream.white_2d(dim + white_off)
-            ss = stream.next_2d(strat_dim)
-            return jnp.where(is_first, ss, sw)
-
-        u_bsdf = draw2(STRAT_BSDF, DIM_BSDF)
-        u_lobe = draw1(STRAT_LOBE, DIM_LOBE)
-        u_pick = draw1(STRAT_LIGHT_PICK, DIM_LIGHT_PICK)
-        u_light = draw2(STRAT_LIGHT_SAMPLE, DIM_LIGHT_SAMPLE)
-        u_rr = stream.white_1d(dim + DIM_RR)
-
-        # --- sample the BSDF (reference `Bounce`) ---
-        bs = bsdf_mod.sample(contact.material, wo_local, u_bsdf, u_lobe)
-        cos_i = jnp.abs(bs.incident[..., 2])
-        has_bounce = active & (bs.pdf > 0.0)
-
-        # --- next event estimation (skipped for specular bounces) ---
-        do_nee = active & ~bs.specular
-        record, pick_pmf = scene_ops.pick_light(scene, u_pick, contact.point)
-        ls = scene_ops.sample_light(scene, record, contact.point, u_light)
-        wi_l_local = vec.to_local(ls.incident, tangent, bitangent, contact.shade_normal)
-        f_l = bsdf_mod.evaluate(contact.material, wo_local, wi_l_local)
-        f_l = f_l * jnp.abs(vec.dot(contact.shade_normal, ls.incident))[..., None]
-        nee_pdf = pick_pmf * ls.pdf
-        candidate = do_nee & (nee_pdf > 1e-12) & jnp.any(f_l * ls.radiant > 0.0, axis=-1)
-
-        shadow_o = _offset_origin(contact.point, contact.geo_normal, ls.incident)
-        shadow_t = jnp.where(ls.travel >= INF, INF, ls.travel * (1.0 - 1e-3))
-        # inactive lanes get a zero-length ray to keep traversal cheap
-        shadow_t = jnp.where(candidate, shadow_t, 0.0)
-        blocked = scene_ops.occlude(
-            scene, shadow_o, ls.incident, shadow_t, jnp.maximum(hit.prim, 0)
-        )
-        visible = candidate & ~blocked
-
-        scatter_pdf_l = bsdf_mod.pdf(contact.material, wo_local, wi_l_local)
-        mis_w = jnp.where(
-            ls.use_mis, _power_heuristic(nee_pdf, scatter_pdf_l), 1.0
-        )
-        nee = ls.radiant * f_l * (mis_w / jnp.maximum(nee_pdf, 1e-20))[..., None]
-        radiance += jnp.where(visible[..., None], throughput * nee, 0.0)
-
-        # --- continue the path (reference Path.Continue) ---
-        weight = bs.value * (cos_i / jnp.maximum(bs.pdf, 1e-20))[..., None]
-        new_throughput = throughput * jnp.where(has_bounce[..., None], weight, 1.0)
-        rr_rate = jnp.clip(survivability * colors.luminance(new_throughput), 0.0, 1.0)
-        survived = u_rr < rr_rate
-        new_throughput = new_throughput / jnp.maximum(rr_rate, 1e-20)[..., None]
-        active_next = has_bounce & survived
-
-        wi_world = vec.to_world(bs.incident, tangent, bitangent, contact.shade_normal)
-        new_o = _offset_origin(contact.point, contact.geo_normal, wi_world)
-        new_d = wi_world
-
-        # --- advance (trace next segment) ---
-        seg_t = jnp.where(active_next, INF, 0.0)
-        new_hit = scene_ops.trace(scene, new_o, new_d, seg_t, jnp.maximum(hit.prim, 0))
-        next_found = active_next & new_hit.found
-
-        # forward-hit emission with MIS (reference ContributeEmissive(PowerHeuristic))
-        new_contact = scene_ops.interact(scene, new_hit, new_o, new_d)
-        emitted = scene_ops.emission_at(scene, new_contact, -new_d)
-        hit_light = scene.lights.prim_light[jnp.maximum(new_hit.prim, 0)]
-        light_pm = scene_ops.light_pmf(scene, hit_light, contact.point)
-        fwd_pdf = light_pm * scene_ops.area_light_pdf(
-            scene, new_hit.prim, contact.point, new_contact.point, new_contact.geo_normal, new_d
-        )
-        em_weight = jnp.where(bs.specular, 1.0, _power_heuristic(bs.pdf, fwd_pdf))
-        radiance += jnp.where(
-            next_found[..., None], new_throughput * emitted * em_weight[..., None], 0.0
-        )
-
-        # forward-miss: infinite lights with MIS against ambient sampling
-        amb_records = scene.lights.kind == LIGHT_AMBIENT
-        amb_pmf = jnp.sum(jnp.where(amb_records, scene.lights.power, 0.0)) / jnp.maximum(
-            jnp.sum(scene.lights.power), 1e-20
-        )
-        inf_pdf = amb_pmf * scene_ops.env_pdf(scene, new_d)
-        inf_weight = jnp.where(bs.specular, 1.0, _power_heuristic(bs.pdf, inf_pdf))
-        escaped = active_next & ~new_hit.found
-        radiance += jnp.where(
-            escaped[..., None],
-            new_throughput
-            * scene_ops.eval_infinite(scene, new_d, False)
-            * inf_weight[..., None],
-            0.0,
-        )
-
-        return (radiance, new_throughput, next_found, new_o, new_d, new_hit)
+    live = jnp.ones((n,), bool)
 
     def cond(carry):
-        depth, state = carry
-        return (depth < bounce_limit) & jnp.any(state[2])
+        return jnp.any(carry[0])
 
-    def loop(carry):
-        depth, state = carry
-        return depth + 1, body(depth, state)
+    def body(carry):
+        live, st = carry
+        out = path_step(
+            scene, stream, st, live,
+            bounce_limit=bounce_limit, survivability=survivability,
+        )
+        new_st = dict(
+            radiance=out["radiance"],
+            throughput=out["new_tp"],
+            o=out["cont_o"],
+            d=out["wi_world"],
+            depth=st["depth"] + 1,
+            prev_pdf=out["bs_pdf"],
+            prev_specular=out["bs_specular"],
+            prev_point=out["contact_point"],
+            ignore=out["hit_prim"],
+        )
+        return live & out["continues"], new_st
 
-    state = (radiance, throughput, active, origin, direction, hit)
-    _, state = jax.lax.while_loop(cond, loop, (jnp.asarray(0, jnp.int32), state))
-    return state[0]
+    _, st = jax.lax.while_loop(cond, body, (live, st))
+    return st["radiance"]
 
 
 def naive_trace(
@@ -236,7 +283,7 @@ def naive_trace(
             break
         tangent, bitangent = vec.orthonormal_frame(contact.shade_normal)
         wo_local = vec.to_local(-d, tangent, bitangent, contact.shade_normal)
-        dim = BOUNCE_DIM_STRIDE * depth
+        dim = CAMERA_DIMS + BOUNCE_DIM_STRIDE * depth
         u2 = stream.white_2d(dim + DIM_BSDF)
         ul = stream.white_1d(dim + DIM_LOBE)
         bs = bsdf_mod.sample(contact.material, wo_local, u2, ul)

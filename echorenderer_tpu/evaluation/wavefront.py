@@ -14,9 +14,10 @@ length instead of spp x bounce_limit.
 
 Per-lane determinism is unchanged: every random draw is a pure hash of
 (seed, pixel, sample, bounce-dim) — regeneration reorders evaluation, not
-the sample streams, so the image is bit-comparable to the lockstep
-integrator's estimator (same draws, same arithmetic order per sample
-up to float addition order of the per-pixel accumulation).
+the sample streams. Physics and draws live in the SHARED
+integrators.path_step, so each sample's radiance is bit-identical to the
+lockstep integrator's (tested in tests/test_integrators.py); only the
+per-pixel accumulation order differs (and only across samples).
 """
 
 from __future__ import annotations
@@ -24,23 +25,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.intersect import INF
 from ..scene.cameras import spawn_rays
-from ..scene.prepare import LIGHT_AMBIENT, PreparedScene
-from ..utils import colors, vec
+from ..scene.prepare import PreparedScene
 from ..utils.rng import SampleStream
-from . import bsdf as bsdf_mod
-from . import scene_ops
-from .integrators import (
-    BOUNCE_DIM_STRIDE,
-    DIM_BSDF,
-    DIM_LIGHT_PICK,
-    DIM_LIGHT_SAMPLE,
-    DIM_LOBE,
-    DIM_RR,
-    _offset_origin,
-    _power_heuristic,
-)
+from .integrators import path_step
 
 
 def sample_frame_wavefront(
@@ -108,102 +96,17 @@ def sample_frame_wavefront(
         live = ~st["lane_done"]
         stream = stream_for(st["sample"])
 
-        # --- trace the pending ray (advance) ---
-        seg_t = jnp.where(live, INF, 0.0)
-        hit = scene_ops.trace(scene, st["o"], st["d"], seg_t, st["ignore"])
-        found = live & hit.found
-        contact = scene_ops.interact(scene, hit, st["o"], st["d"])
-
-        # --- emission at the hit, MIS-weighted against NEE ---
-        emitted = scene_ops.emission_at(scene, contact, -st["d"])
-        if enable_fwd_mis and enable_nee:
-            hit_light = vec.small_table_lookup(
-                scene.lights.prim_light, jnp.maximum(hit.prim, 0)
-            )
-            light_pm = scene_ops.light_pmf(scene, hit_light, st["prev_point"])
-            fwd_pdf = light_pm * scene_ops.area_light_pdf(
-                scene, hit.prim, st["prev_point"], contact.point, contact.geo_normal, st["d"]
-            )
-            em_w = jnp.where(
-                st["prev_specular"], 1.0, _power_heuristic(st["prev_pdf"], fwd_pdf)
-            )
-        else:
-            em_w = jnp.ones((hit.prim.shape[0],), jnp.float32)
-        radiance = st["radiance"] + jnp.where(
-            found[..., None], st["throughput"] * emitted * em_w[..., None], 0.0
+        # all physics (trace, MIS emission, NEE, bounce, RR) lives in the
+        # shared path_step — bit-identical to the lockstep integrator
+        out = path_step(
+            scene, stream, st, live,
+            bounce_limit=bounce_limit, survivability=survivability,
+            enable_nee=enable_nee, enable_fwd_mis=enable_fwd_mis,
         )
-
-        # --- miss: infinite lights, MIS against ambient NEE ---
-        amb_records = scene.lights.kind == LIGHT_AMBIENT
-        amb_pmf = jnp.sum(jnp.where(amb_records, scene.lights.power, 0.0)) / jnp.maximum(
-            jnp.sum(scene.lights.power), 1e-20
-        )
-        inf_pdf = amb_pmf * scene_ops.env_pdf(scene, st["d"])
-        inf_w = jnp.where(st["prev_specular"], 1.0, _power_heuristic(st["prev_pdf"], inf_pdf))
-        escaped = live & ~hit.found
-        is_camera = st["depth"] == 0
-        radiance += jnp.where(
-            escaped[..., None],
-            st["throughput"]
-            * jnp.where(
-                is_camera[..., None],
-                scene_ops.eval_infinite(scene, st["d"], True),
-                scene_ops.eval_infinite(scene, st["d"], False) * inf_w[..., None],
-            ),
-            0.0,
-        )
-
-        # --- shade the found lanes: NEE + BSDF bounce ---
-        wo = -st["d"]
-        tangent, bitangent = vec.orthonormal_frame(contact.shade_normal)
-        wo_local = vec.to_local(wo, tangent, bitangent, contact.shade_normal)
-        # every draw comes from the low-discrepancy R2 stream keyed by
-        # (pixel, sample, bounce-dim): stratification at EVERY bounce (the
-        # reference stratifies all dims of a sample too) and exactly one
-        # hash per draw — half the cost of a dual stratified/white scheme
-        dim = BOUNCE_DIM_STRIDE * st["depth"]
-        u_bsdf = stream.next_2d(dim + DIM_BSDF)
-        u_lobe = stream.next_1d(dim + DIM_LOBE)
-        u_pick = stream.next_1d(dim + DIM_LIGHT_PICK)
-        u_light = stream.next_2d(dim + DIM_LIGHT_SAMPLE)
-        u_rr = stream.next_1d(dim + DIM_RR)
-
-        bs = bsdf_mod.sample(contact.material, wo_local, u_bsdf, u_lobe)
-        cos_i = jnp.abs(bs.incident[..., 2])
-        has_bounce = found & (bs.pdf > 0.0) & (st["depth"] < bounce_limit)
-
-        # NEE
-        if enable_nee:
-            do_nee = found & ~bs.specular
-            record, pick_pmf = scene_ops.pick_light(scene, u_pick, contact.point)
-            ls = scene_ops.sample_light(scene, record, contact.point, u_light)
-            wi_l = vec.to_local(ls.incident, tangent, bitangent, contact.shade_normal)
-            f_l = bsdf_mod.evaluate(contact.material, wo_local, wi_l)
-            f_l = f_l * jnp.abs(vec.dot(contact.shade_normal, ls.incident))[..., None]
-            nee_pdf = pick_pmf * ls.pdf
-            candidate = do_nee & (nee_pdf > 1e-12) & jnp.any(f_l * ls.radiant > 0.0, axis=-1)
-            shadow_o = _offset_origin(contact.point, contact.geo_normal, ls.incident)
-            shadow_t = jnp.where(ls.travel >= INF, INF, ls.travel * (1.0 - 1e-3))
-            shadow_t = jnp.where(candidate, shadow_t, 0.0)
-            blocked = scene_ops.occlude(
-                scene, shadow_o, ls.incident, shadow_t, jnp.maximum(hit.prim, 0)
-            )
-            visible = candidate & ~blocked
-            scatter_pdf_l = bsdf_mod.pdf(contact.material, wo_local, wi_l)
-            mis_w = jnp.where(ls.use_mis, _power_heuristic(nee_pdf, scatter_pdf_l), 1.0)
-            nee = ls.radiant * f_l * (mis_w / jnp.maximum(nee_pdf, 1e-20))[..., None]
-            radiance += jnp.where(visible[..., None], st["throughput"] * nee, 0.0)
-
-        # continue or die (Russian roulette, PathTracedEvaluator.cs:313-320)
-        weight = bs.value * (cos_i / jnp.maximum(bs.pdf, 1e-20))[..., None]
-        new_tp = st["throughput"] * jnp.where(has_bounce[..., None], weight, 1.0)
-        rr = jnp.clip(survivability * colors.luminance(new_tp), 0.0, 1.0)
-        survived = u_rr < rr
-        new_tp = new_tp / jnp.maximum(rr, 1e-20)[..., None]
-        continues = has_bounce & survived
-
-        wi_world = vec.to_world(bs.incident, tangent, bitangent, contact.shade_normal)
-        cont_o = _offset_origin(contact.point, contact.geo_normal, wi_world)
+        radiance = out["radiance"]
+        new_tp = out["new_tp"]
+        continues = out["continues"]
+        aux = out["aux"]
 
         # --- regeneration: dead lanes bank the sample and respawn ---
         path_done = live & ~continues
@@ -225,25 +128,25 @@ def sample_frame_wavefront(
             lane_done=lane_done,
             radiance=sel(respawn, jnp.zeros_like(radiance), radiance),
             throughput=sel(respawn, jnp.ones_like(new_tp), new_tp),
-            o=sel(respawn, cam_o, cont_o),
-            d=sel(respawn, cam_d, wi_world),
+            o=sel(respawn, cam_o, out["cont_o"]),
+            d=sel(respawn, cam_d, out["wi_world"]),
             depth=jnp.where(respawn, 0, st["depth"] + 1),
-            prev_pdf=jnp.where(respawn, 0.0, bs.pdf),
-            prev_specular=jnp.where(respawn, True, bs.specular),
-            prev_point=sel(respawn, cam_o, contact.point),
-            ignore=jnp.where(respawn, -1, jnp.maximum(hit.prim, 0)),
+            prev_pdf=jnp.where(respawn, 0.0, out["bs_pdf"]),
+            prev_specular=jnp.where(respawn, True, out["bs_specular"]),
+            prev_point=sel(respawn, cam_o, out["contact_point"]),
+            ignore=jnp.where(respawn, -1, out["hit_prim"]),
             iters=st["iters"] + 1,
             counters=st["counters"]
             + jnp.stack(
                 [
                     jnp.sum(live.astype(jnp.float32)),  # Ray/Traced
-                    jnp.sum(candidate.astype(jnp.float32))
-                    if enable_nee
-                    else 0.0,  # Ray/Shadow
+                    jnp.sum(aux["candidate"].astype(jnp.float32)),  # Ray/Shadow
                     jnp.sum(bank.astype(jnp.float32)),  # Sample/Completed
                     jnp.sum((path_done & ~finite).astype(jnp.float32)),  # Sample/Rejected
-                    jnp.sum(found.astype(jnp.float32)),  # Bounce/Created
-                    jnp.sum((has_bounce & ~survived).astype(jnp.float32)),  # Path/RRKilled
+                    jnp.sum(aux["found"].astype(jnp.float32)),  # Bounce/Created
+                    jnp.sum(
+                        (aux["has_bounce"] & ~aux["survived"]).astype(jnp.float32)
+                    ),  # Path/RRKilled
                 ]
             ),
         )

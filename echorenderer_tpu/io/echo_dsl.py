@@ -205,7 +205,7 @@ def coerce_literal(text: str):
     low = s.lower()
     if low in ("true", "false"):
         return low == "true"
-    if low.startswith(("hdr", "rgb", "#")):
+    if low.startswith(("hdr", "rgb", "#", "0x")):
         try:
             return parse_color(s)
         except ValueError:
@@ -236,12 +236,13 @@ class EchoSource:
     def __init__(self, path_or_text, *, base_dir=None):
         p = Path(path_or_text)
         if "\n" not in str(path_or_text) and p.suffix == ".echo" and p.exists():
-            text = p.read_text()
+            # utf-8-sig: the reference ships BOM-prefixed .echo files
+            text = p.read_text(encoding="utf-8-sig")
             self.base_dir = p.parent
         else:
             text = str(path_or_text)
             self.base_dir = Path(base_dir) if base_dir else Path(".")
-        self.root = _Parser(tokenize(text)).parse_file()
+        self.root = _Parser(tokenize(text.lstrip("\ufeff"))).parse_file()
         self._cache: dict[int, object] = {}
 
     # --- public API ---

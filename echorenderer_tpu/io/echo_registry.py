@@ -339,23 +339,41 @@ def _build_standard_profile(source, args, props, calls):
 
     scene = args[0] if args else None
     quality = _scalar(args[1], 1.0) / 40.0 if len(args) > 1 else 1.0
-    denoise = True
     watermark = True
     only_denoise = False
+    resolution = None
+    camera_name = None
+    noise_threshold = None
     for name, value in props:
         if name == "OnlyDenoise":
             only_denoise = bool(value)
         elif name == "Quality":
             quality = _scalar(value, 40.0) / 40.0
         elif name == "NoiseThreshold":
-            pass
+            noise_threshold = _scalar(value, 0.045)
+        elif name == "Resolution":
+            v = np.asarray(value, np.float64).reshape(-1)
+            resolution = (int(v[0]), int(v[1]))
+        elif name == "CameraName":
+            camera_name = str(value)
+        elif name == "TileSize":
+            pass  # tiles exist only for progressive display on TPU
         else:
             raise KeyError(f"echo: unknown StandardPathTracedProfile property .{name}")
-    prof = standard_path_traced_profile(quality=quality, watermark=watermark and not only_denoise)
+    prof = standard_path_traced_profile(
+        quality=quality,
+        resolution=resolution or (960, 540),
+        watermark=watermark and not only_denoise,
+    )
     if only_denoise:
         from ..processes.composition import BilateralDenoise
 
         prof.composition = (BilateralDenoise(),)
+    if noise_threshold is not None:
+        for ep in prof.evaluations:
+            if ep.evaluator == "path":
+                ep.noise_threshold = noise_threshold
+    prof.camera_name = camera_name
     prof.scene = scene
     return prof
 

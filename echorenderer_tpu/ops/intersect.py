@@ -57,25 +57,39 @@ def ray_triangle(o, d, v0, e1, e2):
     return t, u, v, valid
 
 
-def ray_sphere(o, d, center, radius, find_far=False):
-    """Ray/sphere intersection returning the near (or far) positive root.
-
-    The reference's PreparedSphere.Intersect supports `findFar` to skip the
-    near root when leaving a sphere (SphereEntity.cs:88)."""
+def ray_sphere_roots(o, d, center, radius):
+    """Ray/sphere intersection returning BOTH roots (t_near <= t_far) and
+    the discriminant validity mask. Callers pick the root: the near one
+    normally, the far one when the sphere is the query's `ignore` target —
+    the reference's findFar semantics (SphereEntity.cs:88) that let a
+    refracted ray leaving a sphere hit its own exit interface."""
     f = o - center
     b = jnp.sum(f * d, axis=-1)
     c = jnp.sum(f * f, axis=-1) - radius * radius
     disc = b * b - c
     ok = disc >= 0.0
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t_near = -b - sq
-    t_far = -b + sq
+    return -b - sq, -b + sq, ok
+
+
+def ray_sphere(o, d, center, radius, find_far=False):
+    """Ray/sphere intersection returning the near (or far) positive root."""
+    t_near, t_far, ok = ray_sphere_roots(o, d, center, radius)
     if find_far:
         t = t_far
     else:
         t = jnp.where(t_near > 0.0, t_near, t_far)
     valid = ok & (t > 0.0)
     return t, valid
+
+
+def sphere_pick_root(t_near, t_far, ok, ignored, eps=RAY_EPSILON):
+    """Select the sphere hit distance under `ignore` semantics: ignored
+    spheres contribute only their far root (the exit interface), everything
+    else takes the first root beyond eps (TraceQuery.cs:17 + findFar)."""
+    t_std = jnp.where(t_near > eps, t_near, t_far)
+    t = jnp.where(ignored, t_far, t_std)
+    return t, ok & (t > eps)
 
 
 def sphere_uv(local_point, radius):
@@ -159,13 +173,13 @@ def intersect_linear(geom: FlatGeometry, o, d, t_max, ignore) -> Hit:
         best_t = jnp.where(closer, tj, best_t)
 
     if geom.num_spheres:
-        t, valid = ray_sphere(
+        t_near, t_far, ok = ray_sphere_roots(
             o[:, None, :], d[:, None, :], geom.sph_center[None], geom.sph_radius[None]
         )  # (N, S)
         prim_ids = (
             jnp.arange(geom.num_spheres, dtype=jnp.int32)[None, :] + geom.num_triangles
         )
-        valid &= (t > RAY_EPSILON) & (prim_ids != ignore[:, None])
+        t, valid = sphere_pick_root(t_near, t_far, ok, prim_ids == ignore[:, None])
         t = jnp.where(valid, t, INF)
         j = jnp.argmin(t, axis=1)
         tj = jnp.take_along_axis(t, j[:, None], axis=1)[:, 0]
@@ -191,12 +205,13 @@ def occlude_linear(geom: FlatGeometry, o, d, t_max, ignore) -> jax.Array:
         valid &= (t > RAY_EPSILON) & (t < t_max[:, None]) & (prim_ids != ignore[:, None])
         blocked |= jnp.any(valid, axis=1)
     if geom.num_spheres:
-        t, valid = ray_sphere(
+        t_near, t_far, ok = ray_sphere_roots(
             o[:, None, :], d[:, None, :], geom.sph_center[None], geom.sph_radius[None]
         )
         prim_ids = (
             jnp.arange(geom.num_spheres, dtype=jnp.int32)[None, :] + geom.num_triangles
         )
-        valid &= (t > RAY_EPSILON) & (t < t_max[:, None]) & (prim_ids != ignore[:, None])
+        t, valid = sphere_pick_root(t_near, t_far, ok, prim_ids == ignore[:, None])
+        valid &= t < t_max[:, None]
         blocked |= jnp.any(valid, axis=1)
     return blocked

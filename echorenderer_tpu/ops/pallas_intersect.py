@@ -179,6 +179,15 @@ def _chunk_hits(prim_block, k_base, ox, oy, oz, dx, dy, dz, ignore_f,
     cx, cy, cz = tr(prim_block[6]), tr(prim_block[7]), tr(prim_block[8])
     sph = tr(prim_block[9])
 
+    # prim ids + ignore mask (prims are axis 0 in this orientation);
+    # triangles skip their ignore outright, spheres take the FAR root when
+    # ignored (reference findFar, SphereEntity.cs:88 — a refracted ray
+    # leaving a sphere must hit its own exit interface)
+    pid = jax.lax.broadcasted_iota(
+        jnp.int32, (ax.shape[0], ignore_f.shape[-1]), 0
+    ).astype(jnp.float32) + k_base
+    ignored = pid == ignore_f
+
     t_tri = u = v = None
     if has_tri:
         # --- Möller-Trumbore, fully scalarized per component ---
@@ -202,6 +211,7 @@ def _chunk_hits(prim_block, k_base, ox, oy, oz, dx, dy, dz, ignore_f,
             & (v >= 0.0)
             & (u + v <= 1.0)
             & (t_tri > _EPS)
+            & ~ignored
         )
 
     if has_sph:
@@ -215,7 +225,8 @@ def _chunk_hits(prim_block, k_base, ox, oy, oz, dx, dy, dz, ignore_f,
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         t_near = -bq - sq
         t_far = -bq + sq
-        t_sph = jnp.where(t_near > _EPS, t_near, t_far)
+        # ignored spheres contribute only their far root (findFar)
+        t_sph = jnp.where(ignored, t_far, jnp.where(t_near > _EPS, t_near, t_far))
         sph_ok = (disc >= 0.0) & (t_sph > _EPS)
 
     if has_tri and has_sph:
@@ -230,10 +241,6 @@ def _chunk_hits(prim_block, k_base, ox, oy, oz, dx, dy, dz, ignore_f,
     if u is None:
         u = jnp.zeros_like(t)
         v = jnp.zeros_like(t)
-
-    # prim ids + ignore mask (prims are axis 0 in this orientation)
-    pid = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0).astype(jnp.float32) + k_base
-    ok &= pid != ignore_f
     return jnp.where(ok, t, _INF), u, v, pid
 
 

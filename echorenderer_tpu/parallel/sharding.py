@@ -24,6 +24,7 @@ Axis layout:
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -127,18 +128,35 @@ def render_epoch_sharded(
     px = (pixel_id % width).astype(jnp.int32)
     py = (pixel_id // width).astype(jnp.int32)
 
+    run = _sharded_epoch_fn(
+        mesh, tuple(resolution), count, evaluator, bounce_limit, survivability
+    )
+    s_sum, s_sq, n_samples = run(
+        scene, pixel_id, px, py,
+        jnp.asarray(seed, jnp.uint32), jnp.asarray(sample_start, jnp.uint32),
+    )
+    return s_sum[:n], s_sq[:n], n_samples
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_epoch_fn(mesh, resolution, count, evaluator, bounce_limit, survivability):
+    """One jitted executable per (mesh, resolution, count, evaluator, ...)
+    combination; seed and sample_start are traced arguments, so the
+    multi-epoch loop reuses the same executable every epoch (compiles are
+    the dominant cost on this class of host)."""
+
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS)),
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(), P()),
         out_specs=(P(AXIS), P(AXIS), P()),
         # constants (BVH stacks, best-hit inits) inside lax.while_loop
         # carries start unvarying and become varying; skip the vma check
         check_vma=False,
     )
-    def run(scene_rep, pid, pxs, pys):
+    def run(scene_rep, pid, pxs, pys, seed, sample_start):
         s_sum, s_sq = _sample_pixels(
-            scene_rep, pid, pxs, pys, seed, jnp.asarray(sample_start, jnp.uint32),
+            scene_rep, pid, pxs, pys, seed, sample_start,
             count, resolution, evaluator=evaluator, bounce_limit=bounce_limit,
             survivability=survivability,
         )
@@ -147,8 +165,7 @@ def render_epoch_sharded(
         )
         return s_sum, s_sq, n_samples[None]
 
-    s_sum, s_sq, n_samples = jax.jit(run)(scene, pixel_id, px, py)
-    return s_sum[:n], s_sq[:n], n_samples
+    return jax.jit(run)
 
 
 def render_frame_sharded(

@@ -85,7 +85,9 @@ def resume_render_layer(scene, profile, resolution, checkpoint_path, *,
     t0 = time.perf_counter()
     total = int(float(jnp.sum(acc.count[..., 0])))
     epoch = start_epoch
+    ran_epochs = False
     for epoch in range(start_epoch, profile.max_epoch):
+        ran_epochs = True
         s_sum, s_sq = _sample_frame_jit(
             scene, profile.evaluator, tuple(resolution), seed,
             jnp.asarray(epoch * profile.samples_per_epoch, jnp.uint32),
@@ -103,8 +105,14 @@ def resume_render_layer(scene, profile, resolution, checkpoint_path, *,
         if epoch + 1 >= profile.min_epoch and noise < profile.noise_threshold:
             break
 
-    save_checkpoint(path, acc, epoch=epoch + 1, layer=profile.layer_name,
-                    seed=seed, resolution=resolution)
+    # only persist when work actually ran: resuming an already-complete
+    # checkpoint must not inflate the epoch counter (a phantom epoch would
+    # silently skip its sample_id range if max_epoch is later raised,
+    # breaking the resumed == uninterrupted determinism contract)
+    epochs_done = epoch + 1 if ran_epochs else start_epoch
+    if ran_epochs:
+        save_checkpoint(path, acc, epoch=epochs_done, layer=profile.layer_name,
+                        seed=seed, resolution=resolution)
     image = np.asarray(acc.mean).reshape(height, width, channels)
-    info = dict(samples=total, epochs=epoch + 1, seconds=time.perf_counter() - t0)
+    info = dict(samples=total, epochs=epochs_done, seconds=time.perf_counter() - t0)
     return image, info

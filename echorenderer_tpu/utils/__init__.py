@@ -1,1 +1,1 @@
-from . import vec, rng, accumulator, stats, colors
+from . import vec, rng, accumulator, colors

@@ -36,7 +36,8 @@ def srgb_decode(srgb: jax.Array) -> jax.Array:
     return jnp.where(s <= 0.04045, s / 12.92, jnp.power((s + 0.055) / 1.055, 2.4))
 
 
-_HEX_RE = re.compile(r"^#?([0-9a-fA-F]{3,8})$")
+# prefixes per the reference parser: 0x, # (doubled # tolerated), or bare
+_HEX_RE = re.compile(r"^(?:0[xX]|##?)?([0-9a-fA-F]{1,8})$")
 
 
 def parse_color(text: str) -> np.ndarray:
@@ -50,7 +51,11 @@ def parse_color(text: str) -> np.ndarray:
     m = _HEX_RE.match(text)
     if m:
         h = m.group(1)
-        if len(h) in (3, 4):
+        # reference hex forms (RGBA128.Parser.cs ParseHex): 1 = gray nibble,
+        # 3/4 = rgb(a) nibbles, 6/8 = rgb(a) bytes
+        if len(h) == 1:
+            h = h * 6
+        elif len(h) in (3, 4):
             h = "".join(c * 2 for c in h)
         if len(h) == 6:
             h += "FF"

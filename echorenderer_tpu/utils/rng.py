@@ -13,9 +13,25 @@ compile-time constants at each draw site (the analogue of the reference's
 call-order-keyed buffer indices).
 
 Low-discrepancy: camera/bounce dimensions use additive-recurrence (R2 /
-golden-ratio) sequences over sample_id with per-(pixel, dimension)
-Cranley-Patterson rotation — matching the stratification quality of the
-reference's StratifiedDistribution without its per-series buffers.
+golden-ratio) lattices over sample_id, computed exactly in 32-bit fixed
+point, then decorrelated across dimensions by the full shuffled-scrambled
+recipe (Burley, 'Practical Hash-based Owen Scrambling' 2020):
+  1. the SAMPLE INDEX is Owen-shuffled per (pixel, dim) — a dyadic-block-
+     preserving permutation, so power-of-2 sample prefixes remain exact
+     low-discrepancy sets while different dims get independently paired
+     sample orders (random-Latin-hypercube-like pairing);
+  2. the OUTPUT value is Owen-scrambled per (pixel, dim/component).
+Either step alone is insufficient: a plain Cranley-Patterson rotation (or
+a value scramble by itself — LK scrambles stay correlated across keys on
+identical inputs) leaves pairs of additive-recurrence dims near a 1D
+lattice line u_a - u_b = const, which shows up as structured artifacts
+wherever two draws of one sample interact (pixel jitter x first BSDF
+direction, lobe pick x direction, ...). tests/test_utils.py pins both the
+stratification and the product-space coverage.
+
+Key-space layout: each absolute dim (unique per draw site — see
+integrators.CAMERA_DIMS / BOUNCE_DIM_STRIDE) hashes one base key 4*dim;
+value-scramble keys are remixes of it with distinct salts.
 """
 
 from __future__ import annotations
@@ -24,12 +40,15 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _U32 = jnp.uint32
 
-# golden ratio / R2 additive recurrence constants (Roberts 2018)
-_ALPHA_1D = 0.6180339887498949
-_ALPHA_2D = (0.7548776662466927, 0.5698402909980532)
+# R2 additive recurrence constants (Roberts 2018) in 32-bit fixed point;
+# the mod-2^32 multiply IS the fractional part of sample_id * alpha
+_ALPHA_1D = np.uint32(round(0.6180339887498949 * 2**32))
+_ALPHA_2X = np.uint32(round(0.7548776662466927 * 2**32))
+_ALPHA_2Y = np.uint32(round(0.5698402909980532 * 2**32) & 0xFFFFFFFF)
 
 
 def _mix(x: jax.Array) -> jax.Array:
@@ -56,6 +75,31 @@ def u32_to_uniform(bits: jax.Array) -> jax.Array:
     return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
 
 
+def _bit_reverse(x: jax.Array) -> jax.Array:
+    x = (x << 16) | (x >> 16)
+    x = ((x & _U32(0x00FF00FF)) << 8) | ((x >> 8) & _U32(0x00FF00FF))
+    x = ((x & _U32(0x0F0F0F0F)) << 4) | ((x >> 4) & _U32(0x0F0F0F0F))
+    x = ((x & _U32(0x33333333)) << 2) | ((x >> 2) & _U32(0x33333333))
+    x = ((x & _U32(0x55555555)) << 1) | ((x >> 1) & _U32(0x55555555))
+    return x
+
+
+def owen_scramble(bits: jax.Array, key: jax.Array) -> jax.Array:
+    """Hash-based nested uniform (Owen) scramble of a [0,1) value's bits
+    (Laine-Karras hash as tuned by Burley, 'Practical Hash-based Owen
+    Scrambling' 2020): a measure-preserving permutation of [0,1) that maps
+    dyadic intervals to dyadic intervals, so per-dimension stratification
+    survives while cross-dimension lattice structure is destroyed."""
+    x = _bit_reverse(bits.astype(_U32))
+    key = key.astype(_U32)
+    x = x ^ (x * _U32(0x3D20ADEA))
+    x = x + key
+    x = x * ((key >> 16) | _U32(1))
+    x = x ^ (x * _U32(0x05526C56))
+    x = x ^ (x * _U32(0x53A22864))
+    return _bit_reverse(x)
+
+
 class SampleStream(NamedTuple):
     """Per-lane deterministic sample stream identity.
 
@@ -68,21 +112,30 @@ class SampleStream(NamedTuple):
     sample_id: jax.Array
     seed: jax.Array
 
-    def next_1d(self, dim: int) -> jax.Array:
-        """Stratified 1D sample in [0, 1) for a static dimension index."""
-        cp = u32_to_uniform(hash_u32(self.seed, self.pixel_id, 2 * dim + 1))
-        s = self.sample_id.astype(jnp.float32)
-        u = s * jnp.float32(_ALPHA_1D) + cp
-        return u - jnp.floor(u)
+    def _keys(self, dim):
+        """Per-(seed, pixel, dim) base key + derived value-scramble keys.
+        Absolute dims are unique per draw site, so one hashed base key per
+        dim suffices; value keys are cheap remixes with distinct salts."""
+        d = jnp.asarray(dim, _U32)
+        ks = hash_u32(self.seed, self.pixel_id, d * _U32(4))
+        return ks, _mix(ks ^ _U32(0xA511E9B3)), _mix(ks ^ _U32(0x63D83595))
 
-    def next_2d(self, dim: int) -> jax.Array:
-        """Stratified 2D sample in [0, 1)^2 for a static dimension index."""
-        cpx = u32_to_uniform(hash_u32(self.seed, self.pixel_id, 4 * dim + 2))
-        cpy = u32_to_uniform(hash_u32(self.seed, self.pixel_id, 4 * dim + 3))
-        s = self.sample_id.astype(jnp.float32)
-        ux = s * jnp.float32(_ALPHA_2D[0]) + cpx
-        uy = s * jnp.float32(_ALPHA_2D[1]) + cpy
-        return jnp.stack([ux - jnp.floor(ux), uy - jnp.floor(uy)], axis=-1)
+    def next_1d(self, dim) -> jax.Array:
+        """Stratified 1D sample in [0, 1). `dim` may be a python int or a
+        traced int array (e.g. a bounce-depth-derived dimension)."""
+        ks, kv, _ = self._keys(dim)
+        idx = owen_scramble(self.sample_id.astype(_U32), ks)  # index shuffle
+        return u32_to_uniform(owen_scramble(idx * _ALPHA_1D, kv))
+
+    def next_2d(self, dim) -> jax.Array:
+        """Stratified 2D sample in [0, 1)^2. The index shuffle is shared by
+        both components (preserving the joint R2 lattice structure); the
+        output scrambles are independent."""
+        ks, kx, ky = self._keys(dim)
+        idx = owen_scramble(self.sample_id.astype(_U32), ks)
+        ux = u32_to_uniform(owen_scramble(idx * _ALPHA_2X, kx))
+        uy = u32_to_uniform(owen_scramble(idx * _ALPHA_2Y, ky))
+        return jnp.stack([ux, uy], axis=-1)
 
     def white_1d(self, dim) -> jax.Array:
         """Pure-hash (white noise) 1D sample; dim may be traced (e.g. bounce)."""

@@ -43,12 +43,21 @@ class TestEstimatorConsistency:
         corr = (ca * cb).sum() / np.sqrt((ca * ca).sum() * (cb * cb).sum())
         assert corr > 0.85
 
-    def test_wavefront_matches_lockstep(self, cornell):
-        """Path regeneration must not change the estimator's expectation."""
+    def test_wavefront_matches_lockstep_bitwise(self, cornell):
+        """Wavefront regeneration and the lockstep integrator share
+        path_step, so their per-sample draws AND arithmetic are identical:
+        the sample sums must be BITWISE equal (the sum-of-squares may
+        differ by FMA contraction, so it gets a 2-ulp tolerance)."""
         res = (24, 18)
-        a = _mean_image(cornell, "path", res, spp=96, bounce=6)
-        b = _mean_image(cornell, "path_lockstep", res, spp=96, bounce=6)
-        np.testing.assert_allclose(a.mean(), b.mean(), rtol=0.05)
+        spp = 3  # odd: keeps the wavefront on a single sample chain
+        a, asq = _sample_frame_jit(
+            cornell, "path", res, 0, jnp.asarray(0, jnp.uint32), spp, 6, 2.5
+        )
+        b, bsq = _sample_frame_jit(
+            cornell, "path_lockstep", res, 0, jnp.asarray(0, jnp.uint32), spp, 6, 2.5
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(asq), np.asarray(bsq), rtol=1e-6)
 
     def test_deterministic_across_runs(self, cornell):
         res = (16, 12)

@@ -217,3 +217,18 @@ class TestImages:
         p = tmp_path / "a.exr"
         save_exr(p, img)
         np.testing.assert_allclose(load_exr(p), img, atol=1e-6)
+
+    def test_exr_zip_roundtrip(self, tmp_path):
+        """ZIP-compressed EXR (what real HDR environment assets use):
+        16-scanline blocks, interleave+predictor+deflate transform."""
+        from echorenderer_tpu.io.exr import load_exr, save_exr
+
+        # smooth HDR-like gradient: compresses well, exercises the
+        # keep-compressed branch; 37 rows = ragged final 16-line block
+        y, x = np.mgrid[0:37, 0:23].astype(np.float32)
+        img = np.stack([y * 0.1, x * 0.2, (x + y) * 0.05], -1)
+        p = tmp_path / "z.exr"
+        save_exr(p, img, compression="zip")
+        save_exr(tmp_path / "n.exr", img)
+        assert p.stat().st_size < (tmp_path / "n.exr").stat().st_size / 2
+        np.testing.assert_array_equal(load_exr(p), img)

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from echorenderer_tpu.utils import vec, rng, accumulator, stats, colors
+from echorenderer_tpu.utils import vec, rng, accumulator, colors
 
 
 class TestVec:
@@ -91,7 +91,74 @@ class TestRng:
         for sid in range(64):
             s = rng.SampleStream(pix, jnp.asarray(sid, jnp.uint32), jnp.asarray(7, jnp.uint32))
             vals.append(float(s.next_1d(0)[0]))
-        assert abs(np.mean(vals) - 0.5) < 0.01  # white noise would be ~0.06 std
+        # stratified-with-jitter mean std ~0.005; white noise would be ~0.036
+        assert abs(np.mean(vals) - 0.5) < 0.02
+
+    def test_no_shared_keys_camera_vs_bounce(self):
+        """No bounce-dim draw may share its underlying hash key with a
+        camera draw (the round-1 depth-0 collision reused the pixel-jitter
+        sample as the first BSDF direction). Checks the draw VALUES over a
+        sample stream: identical keys would give identical sequences."""
+        from echorenderer_tpu.evaluation.integrators import (
+            BOUNCE_DIM_STRIDE,
+            CAMERA_DIMS,
+            DIM_BSDF,
+            DIM_LIGHT_PICK,
+            DIM_LIGHT_SAMPLE,
+            DIM_LOBE,
+            DIM_RR,
+        )
+
+        pix = jnp.zeros(1, jnp.uint32)
+        camera_dims = list(range(CAMERA_DIMS))
+        bounce0 = [
+            CAMERA_DIMS + BOUNCE_DIM_STRIDE * 0 + k
+            for k in (DIM_BSDF, DIM_LOBE, DIM_LIGHT_PICK, DIM_LIGHT_SAMPLE, DIM_RR)
+        ]
+        assert min(bounce0) >= CAMERA_DIMS  # key spaces disjoint by layout
+
+        def seq2(dim):
+            out = []
+            for sid in range(32):
+                s = rng.SampleStream(pix, jnp.asarray(sid, jnp.uint32), jnp.asarray(0, jnp.uint32))
+                out.append(np.asarray(s.next_2d(dim)[0]))
+            return np.stack(out)
+
+        cam = [seq2(d) for d in camera_dims]
+        for bd in bounce0:
+            b = seq2(bd)
+            for c in cam:
+                assert not np.allclose(b, c), f"bounce dim {bd} reuses a camera stream"
+
+    def test_pairwise_dims_cover_product_space(self):
+        """Owen scrambling must break the additive-recurrence lattice: the
+        (dim a, dim b) pairs of one pixel's stream must not collapse onto a
+        line u_a - u_b = const (the Cranley-Parterson failure mode)."""
+        pix = jnp.zeros(1, jnp.uint32)
+        a, b = [], []
+        for sid in range(256):
+            s = rng.SampleStream(pix, jnp.asarray(sid, jnp.uint32), jnp.asarray(3, jnp.uint32))
+            a.append(float(s.next_1d(0)[0]))
+            b.append(float(s.next_1d(5)[0]))
+        diff = (np.asarray(a) - np.asarray(b)) % 1.0
+        # on a lattice line the fractional difference is a single constant;
+        # after scrambling it should fill [0,1): demand broad spread
+        assert diff.std() > 0.15, f"dims still lattice-coupled (std {diff.std():.4f})"
+
+    def test_owen_scramble_preserves_stratification(self):
+        """The scramble is a dyadic-interval permutation: 2^k prefixes stay
+        stratified (each half/quarter/eighth gets its fair share)."""
+        pix = jnp.zeros(1, jnp.uint32)
+        vals = []
+        for sid in range(64):
+            s = rng.SampleStream(pix, jnp.asarray(sid, jnp.uint32), jnp.asarray(9, jnp.uint32))
+            vals.append(float(s.next_1d(7)[0]))
+        vals = np.asarray(vals)
+        for k in (2, 4, 8):
+            counts = np.histogram(vals, bins=k, range=(0.0, 1.0))[0]
+            assert counts.min() >= 64 // k - 2 and counts.max() <= 64 // k + 2, (
+                f"bins {k}: {counts}"
+            )
 
     def test_uniform_sphere(self):
         s = self._stream(8192)
@@ -174,23 +241,6 @@ class TestAccumulator:
         )
         np.testing.assert_allclose(merged.mean, seq.mean, rtol=1e-4)
         np.testing.assert_allclose(merged.m2, seq.m2, rtol=1e-3, atol=1e-5)
-
-
-class TestStats:
-    def test_report_and_merge(self):
-        c = stats.zeros(("a", "b"))
-        c = c.report("a", 3).report("b", 2).report("a", 1)
-        assert c.to_dict() == {"a": 4.0, "b": 2.0}
-        m = stats.merge(c, c)
-        assert m.to_dict() == {"a": 8.0, "b": 4.0}
-
-    def test_jit_through(self):
-        @jax.jit
-        def f(c):
-            return c.report("a", 5)
-
-        c = f(stats.zeros(("a",)))
-        assert c.to_dict()["a"] == 5.0
 
 
 class TestColors:
