@@ -52,6 +52,23 @@ def sample_frame_wavefront(
     EvaluatorStatistics (Evaluation/Evaluators/EvaluatorStatistics.cs,
     labels in the reference's Report("...") style).
     The enable_* flags exist for ablation/debugging only."""
+    # On TPU, scenes inside the megakernel envelope run the fully fused
+    # Pallas wavefront (ops/megakernel.py): same draws, same physics, zero
+    # HBM traffic between pipeline stages. Parity is pinned by
+    # tests/test_megakernel.py.
+    if (
+        enable_nee
+        and enable_fwd_mis
+        and not return_stats
+        and jax.default_backend() == "tpu"
+    ):
+        from ..ops import megakernel
+
+        if megakernel.supported(scene):
+            return megakernel.sample_frame_mega(
+                scene, pixel_id, pixel_xy, resolution, seed, sample_start,
+                count, bounce_limit=bounce_limit, survivability=survivability,
+            )
     n = pixel_id.shape[0]
     f3 = lambda: jnp.zeros((n, 3), jnp.float32)
 

@@ -129,12 +129,18 @@ def _sample_frame(scene: PreparedScene, evaluator: str, resolution, seed, sample
         # wider waves amortize fixed per-iteration costs and shrink the
         # regeneration tail (fewer loop trips for the same sample count)
         from ..evaluation.wavefront import sample_frame_wavefront
+        from ..ops import megakernel
 
+        # CHAINS amortize the XLA wavefront's fixed per-iteration cost; the
+        # fused megakernel has none, and chains shorten each lane's sample
+        # run, which GROWS its per-block regeneration tail — so keep one
+        # chain whenever the megakernel will take the frame
         chains = 1
-        for k in (4, 2):
-            if count % k == 0 and n * k <= 4_194_304:
-                chains = k
-                break
+        if not (jax.default_backend() == "tpu" and megakernel.supported(scene)):
+            for k in (4, 2):
+                if count % k == 0 and n * k <= 4_194_304:
+                    chains = k
+                    break
         rep = lambda a: jnp.tile(a, (chains,) + (1,) * (a.ndim - 1))
         chain = jnp.repeat(
             jnp.arange(chains, dtype=jnp.uint32) * (count // chains), n

@@ -71,8 +71,11 @@ def hash_u32(*parts) -> jax.Array:
 
 
 def u32_to_uniform(bits: jax.Array) -> jax.Array:
-    """uint32 -> float32 in [0, 1)."""
-    return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+    """uint32 -> float32 in [0, 1). Routed through int32 (exact: bits >> 8
+    fits in 24 bits) because Mosaic cannot lower uint32 -> float32 — this
+    exact function also runs inside the Pallas megakernel, keeping its
+    draws bit-identical to the XLA integrators."""
+    return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
 
 
 def _bit_reverse(x: jax.Array) -> jax.Array:
@@ -127,14 +130,20 @@ class SampleStream(NamedTuple):
         idx = owen_scramble(self.sample_id.astype(_U32), ks)  # index shuffle
         return u32_to_uniform(owen_scramble(idx * _ALPHA_1D, kv))
 
-    def next_2d(self, dim) -> jax.Array:
-        """Stratified 2D sample in [0, 1)^2. The index shuffle is shared by
-        both components (preserving the joint R2 lattice structure); the
-        output scrambles are independent."""
+    def next_2d_parts(self, dim) -> tuple[jax.Array, jax.Array]:
+        """`next_2d` as an (x, y) component tuple — the form the Pallas
+        megakernel consumes (no trailing-axis stacking in-kernel)."""
         ks, kx, ky = self._keys(dim)
         idx = owen_scramble(self.sample_id.astype(_U32), ks)
         ux = u32_to_uniform(owen_scramble(idx * _ALPHA_2X, kx))
         uy = u32_to_uniform(owen_scramble(idx * _ALPHA_2Y, ky))
+        return ux, uy
+
+    def next_2d(self, dim) -> jax.Array:
+        """Stratified 2D sample in [0, 1)^2. The index shuffle is shared by
+        both components (preserving the joint R2 lattice structure); the
+        output scrambles are independent."""
+        ux, uy = self.next_2d_parts(dim)
         return jnp.stack([ux, uy], axis=-1)
 
     def white_1d(self, dim) -> jax.Array:

@@ -1,0 +1,72 @@
+"""Physics/draw parity of the fused Pallas megakernel (ops/megakernel.py)
+against the XLA wavefront (the sanctioned single-physics reference).
+
+The megakernel replicates evaluation/integrators.path_step op-for-op in
+component form; these tests pin per-sample agreement (interpret mode on
+CPU, both paths forced through the same pallas intersector so the only
+differences are float reduction orders). Any physics change must keep
+these green — see the invariant note in ops/megakernel.py."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from echorenderer_tpu.evaluation import scene_ops
+from echorenderer_tpu.evaluation.wavefront import sample_frame_wavefront
+from echorenderer_tpu.models import scenes
+from echorenderer_tpu.ops.megakernel import sample_frame_mega, supported
+from echorenderer_tpu.scene.prepare import prepare_scene
+
+
+@pytest.fixture
+def same_intersector(monkeypatch):
+    # route the XLA wavefront through the (interpreted) pallas kernel so hit
+    # records match the megakernel's bit-for-bit
+    monkeypatch.setattr(
+        scene_ops, "_use_pallas", lambda scene: scene.prim_soa is not None
+    )
+
+
+def _compare(scene, count=2, bounce_limit=3, seed=11):
+    n = 1024  # one ray block
+    res = (32, 32)
+    pixel_id = jnp.arange(n, dtype=jnp.uint32)
+    pixel_xy = jnp.stack(
+        [(pixel_id % res[0]).astype(jnp.int32), (pixel_id // res[0]).astype(jnp.int32)],
+        -1,
+    )
+    kw = dict(bounce_limit=bounce_limit, survivability=2.5)
+    a, a2 = sample_frame_wavefront(
+        scene, pixel_id, pixel_xy, res, seed, jnp.uint32(0), count, **kw
+    )
+    b, b2 = sample_frame_mega(
+        scene, pixel_id, pixel_xy, res, seed, jnp.uint32(0), count, **kw
+    )
+    a, b = np.asarray(a), np.asarray(b)
+    # per-sample agreement: identical draws and physics, differing only in
+    # float reduction order (no Russian-roulette divergence tolerated here)
+    np.testing.assert_allclose(b, a, atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(a2), atol=4e-2, rtol=2e-3)
+    # estimator-level: mean images essentially equal
+    np.testing.assert_allclose(b.mean(0), a.mean(0), atol=1e-5, rtol=1e-5)
+
+
+def test_mega_matches_wavefront_sphere_field(same_intersector):
+    scene = prepare_scene(scenes.sphere_field(12))
+    assert supported(scene)
+    _compare(scene)
+
+
+def test_mega_matches_wavefront_material_ball(same_intersector):
+    # covers dielectric (smooth+rough), conductor, coated, emissive, ambient
+    scene = prepare_scene(scenes.material_ball())
+    assert supported(scene)
+    _compare(scene)
+
+
+def test_mega_unsupported_scenes_fall_back():
+    # env-mapped scene: outside the megakernel envelope
+    scene = prepare_scene(scenes.hdr_environment(resolution=(16, 8)))
+    assert not supported(scene)
