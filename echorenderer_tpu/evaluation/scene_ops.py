@@ -36,6 +36,10 @@ from .bsdf import GatheredMaterial
 LINEAR_THRESHOLD = 32
 
 
+def _use_hier(scene) -> bool:
+    return jax.default_backend() == "tpu" and scene.hier_soa is not None
+
+
 def _use_pallas(scene) -> bool:
     from ..ops.pallas_intersect import VMEM_PRIM_LIMIT
 
@@ -49,6 +53,10 @@ def _use_pallas(scene) -> bool:
 def trace(scene: PreparedScene, o, d, t_max, ignore) -> Hit:
     if scene.geometry.num_primitives < LINEAR_THRESHOLD:
         return intersect_linear(scene.geometry, o, d, t_max, ignore)
+    if _use_hier(scene):
+        from ..ops.pallas_hier import intersect_hier
+
+        return intersect_hier(scene.geometry, scene.hier_soa, o, d, t_max, ignore)
     if _use_pallas(scene):
         from ..ops.pallas_intersect import intersect_pallas
 
@@ -59,6 +67,10 @@ def trace(scene: PreparedScene, o, d, t_max, ignore) -> Hit:
 def occlude(scene: PreparedScene, o, d, t_max, ignore) -> jax.Array:
     if scene.geometry.num_primitives < LINEAR_THRESHOLD:
         return occlude_linear(scene.geometry, o, d, t_max, ignore)
+    if _use_hier(scene):
+        from ..ops.pallas_hier import occlude_hier
+
+        return occlude_hier(scene.geometry, scene.hier_soa, o, d, t_max, ignore)
     if _use_pallas(scene):
         from ..ops.pallas_intersect import occlude_pallas
 

@@ -81,6 +81,30 @@ class PrimSoA(NamedTuple):
         return self.ax.shape[1]
 
 
+def pack_sorted_prims(geom: FlatGeometry, order: np.ndarray):
+    """Host-side shared packing: primitive components permuted into the
+    given (spatially coherent) order, plus per-prim AABBs. Used by both the
+    dense-chunk layout below and the hierarchical layout in pallas_hier.
+    Returns (a, b, c, is_sph, lo, hi) as (p, ...) numpy arrays."""
+    t = geom.num_triangles
+    s = geom.num_spheres
+    v0 = np.asarray(geom.tri_v0) if t else np.zeros((0, 3), np.float32)
+    e1 = np.asarray(geom.tri_e1) if t else np.zeros((0, 3), np.float32)
+    e2 = np.asarray(geom.tri_e2) if t else np.zeros((0, 3), np.float32)
+    sc = np.asarray(geom.sph_center) if s else np.zeros((0, 3), np.float32)
+    sr = np.asarray(geom.sph_radius) if s else np.zeros(0, np.float32)
+
+    # original-id component rows, then permute into sorted order
+    a = np.concatenate([v0, sc], 0)  # (p, 3)
+    b = np.concatenate([e1, np.stack([sr, np.zeros_like(sr), np.zeros_like(sr)], -1)], 0)
+    c = np.concatenate([e2, np.zeros((s, 3), np.float32)], 0)
+    is_sph = np.concatenate([np.zeros(t, np.float32), np.ones(s, np.float32)])
+    a, b, c, is_sph = a[order], b[order], c[order], is_sph[order]
+    lo = np.where(is_sph[:, None] > 0.5, a - b[:, :1], np.minimum(np.minimum(a, a + b), a + c))
+    hi = np.where(is_sph[:, None] > 0.5, a + b[:, :1], np.maximum(np.maximum(a, a + b), a + c))
+    return a, b, c, is_sph, lo, hi
+
+
 def build_prim_soa(geom: FlatGeometry, order: np.ndarray | None = None) -> PrimSoA:
     """Host-side packing of FlatGeometry into kernel layout. `order` is a
     spatially coherent permutation (BVH leaf order) so chunk AABBs stay
@@ -103,27 +127,13 @@ def build_prim_soa(geom: FlatGeometry, order: np.ndarray | None = None) -> PrimS
     inv_order = np.empty_like(order)
     inv_order[order] = np.arange(p, dtype=np.int32)
 
-    v0 = np.asarray(geom.tri_v0) if t else np.zeros((0, 3), np.float32)
-    e1 = np.asarray(geom.tri_e1) if t else np.zeros((0, 3), np.float32)
-    e2 = np.asarray(geom.tri_e2) if t else np.zeros((0, 3), np.float32)
-    sc = np.asarray(geom.sph_center) if s else np.zeros((0, 3), np.float32)
-    sr = np.asarray(geom.sph_radius) if s else np.zeros(0, np.float32)
-
-    # original-id component rows, then permute into sorted order
-    a = np.concatenate([v0, sc], 0)  # (p, 3)
-    b = np.concatenate([e1, np.stack([sr, np.zeros_like(sr), np.zeros_like(sr)], -1)], 0)
-    c = np.concatenate([e2, np.zeros((s, 3), np.float32)], 0)
-    is_sph = np.concatenate([np.zeros(t, np.float32), np.ones(s, np.float32)])
-    a, b, c, is_sph = a[order], b[order], c[order], is_sph[order]
+    a, b, c, is_sph, lo, hi = pack_sorted_prims(geom, order)
 
     def row(vals, fill):
         out = np.full(pad, fill, np.float32)
         out[:p] = vals
         return jnp.asarray(out[None, :])
 
-    # per-prim AABBs in sorted order -> per-chunk bounds
-    lo = np.where(is_sph[:, None] > 0.5, a - b[:, :1], np.minimum(np.minimum(a, a + b), a + c))
-    hi = np.where(is_sph[:, None] > 0.5, a + b[:, :1], np.maximum(np.maximum(a, a + b), a + c))
     n_chunks = max(1, pad // PRIM_BLOCK)
     cb = np.zeros((8, n_chunks), np.float32)
     cb[0:3] = 1e30

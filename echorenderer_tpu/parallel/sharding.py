@@ -123,8 +123,18 @@ def render_epoch_sharded(
     per = shard_pixels(n, n_shards)
     padded = per * n_shards
 
-    pixel_id = jnp.arange(padded, dtype=jnp.uint32)
-    pixel_id = jnp.where(pixel_id < n, pixel_id, 0)
+    if evaluator == "path":
+        # tile-major lane order (processes/tiles.lane_order): compact pixel
+        # tiles per kernel block. Per-pixel draws key on pixel_id, so the
+        # image stays bit-identical across lane orders AND shard counts.
+        from ..processes.tiles import lane_order
+
+        perm, inv = lane_order(resolution)
+        pixel_id = jnp.asarray(np.pad(perm, (0, padded - n)))
+    else:
+        inv = None
+        pixel_id = jnp.arange(padded, dtype=jnp.uint32)
+        pixel_id = jnp.where(pixel_id < n, pixel_id, 0)
     px = (pixel_id % width).astype(jnp.int32)
     py = (pixel_id // width).astype(jnp.int32)
 
@@ -135,6 +145,9 @@ def render_epoch_sharded(
         scene, pixel_id, px, py,
         jnp.asarray(seed, jnp.uint32), jnp.asarray(sample_start, jnp.uint32),
     )
+    if inv is not None:
+        inv_d = jnp.asarray(inv)
+        return s_sum[inv_d], s_sq[inv_d], n_samples
     return s_sum[:n], s_sq[:n], n_samples
 
 

@@ -53,6 +53,10 @@ class EvaluationProfile:
     samples_per_epoch: int = 16
     bounce_limit: int = 16
     survivability: float = 2.5
+    # per-pixel adaptive sampling (reference EvaluationOperation.cs:111-137):
+    # after min_epoch full-frame epochs, only pixels whose own Welford noise
+    # exceeds noise_threshold keep sampling (compacted into dense lanes)
+    adaptive: bool = True
 
 
 @dataclasses.dataclass
@@ -118,7 +122,16 @@ def _sample_frame(scene: PreparedScene, evaluator: str, resolution, seed, sample
     width, height = resolution
     n = width * height
     channels = AOV_CHANNELS[evaluator]
-    pixel_id = jnp.arange(n, dtype=jnp.uint32)
+    if evaluator == "path":
+        # tile-major lane order: each 1024-lane kernel block covers a
+        # compact pixel tile (packet coherence for the trace kernels);
+        # bit-identical to scan order after the inv gather-back
+        from .tiles import lane_order
+
+        perm, inv = lane_order(resolution)
+        pixel_id = jnp.asarray(perm)
+    else:
+        pixel_id = jnp.arange(n, dtype=jnp.uint32)
     px = (pixel_id % width).astype(jnp.int32)
     py = (pixel_id // width).astype(jnp.int32)
     pixel_xy = jnp.stack([px, py], axis=-1)
@@ -153,7 +166,8 @@ def _sample_frame(scene: PreparedScene, evaluator: str, resolution, seed, sample
         if chains > 1:
             s_sum = s_sum.reshape(chains, n, 3).sum(0)
             s_sq = s_sq.reshape(chains, n, 3).sum(0)
-        return s_sum, s_sq
+        inv_d = jnp.asarray(inv)
+        return s_sum[inv_d], s_sq[inv_d]  # back to scan (pixel-id) order
 
     fn = EVALUATORS[evaluator]
 
@@ -186,6 +200,103 @@ _sample_frame_jit = jax.jit(
 )
 
 
+def _sample_active(scene, ids, starts, resolution, seed, count, bounce_limit,
+                   survivability):
+    """Device program for an adaptive epoch: accumulate `count` samples for
+    an arbitrary (compacted) set of pixel lanes, each continuing its own
+    deterministic stream at its per-pixel `starts` index."""
+    from ..evaluation.wavefront import sample_frame_wavefront
+
+    width, height = resolution
+    px = (ids % width).astype(jnp.int32)
+    py = (ids // width).astype(jnp.int32)
+    pixel_xy = jnp.stack([px, py], axis=-1)
+    return sample_frame_wavefront(
+        scene, ids, pixel_xy, resolution, seed, starts, count,
+        bounce_limit=bounce_limit, survivability=survivability,
+    )
+
+
+_sample_active_jit = jax.jit(
+    _sample_active,
+    static_argnames=("resolution", "count", "bounce_limit", "survivability"),
+)
+
+
+def _bucket_size(m: int, n: int) -> int:
+    """Smallest power-of-two division of n (down to 1024) that fits m active
+    lanes — a handful of distinct compiled shapes per resolution instead of
+    one per epoch."""
+    b = n
+    while b % 2 == 0 and b // 2 >= max(m, 1024) and b > 1024:
+        b //= 2
+    return b
+
+
+def _adaptive_epochs(scene, profile, resolution, seed, acc, drawn, first_epoch,
+                     progress, total_samples, start_time):
+    """Per-pixel adaptive phase (reference EvaluationOperation.cs:111-137):
+    each epoch gathers the still-noisy pixels into dense wavefront lanes
+    (tile-major order preserved for packet coherence) and merges their new
+    samples back by scatter. Returns (acc, drawn, epochs_run, total_samples).
+
+    Determinism: the schedule is a pure function of the accumulated state,
+    and every pixel draws sample ids [drawn, drawn+count) of its own stream,
+    so a given (scene, seed, profile) always yields the same image.
+    """
+    from ..utils import accumulator as acc_mod
+    from .tiles import lane_order
+
+    width, height = resolution
+    n = width * height
+    perm, _inv = lane_order(resolution)
+    spe = profile.samples_per_epoch
+    epochs_run = first_epoch
+
+    for epoch in range(first_epoch, profile.max_epoch):
+        noise_px = np.asarray(acc_mod.max_noise(acc))  # (n,)
+        active = noise_px[perm] > profile.noise_threshold  # lane (tile) order
+        m = int(active.sum())
+        if m == 0:
+            break
+        bucket = _bucket_size(m, n)
+        lanes = np.nonzero(active)[0]
+        lanes = np.pad(lanes, (0, bucket - m), constant_values=lanes[0] if m else 0)
+        ids = perm[lanes]
+        valid = (np.arange(bucket) < m).astype(np.float32)
+        ids_d = jnp.asarray(ids)
+        s_sum, s_sq = _sample_active_jit(
+            scene, ids_d, jnp.asarray(drawn[ids], np.uint32), tuple(resolution),
+            seed, spe, profile.bounce_limit, profile.survivability,
+        )
+        v = jnp.asarray(valid)[:, None]
+        full_sum = jnp.zeros((n, 3)).at[ids_d].add(s_sum * v)
+        full_sq = jnp.zeros((n, 3)).at[ids_d].add(s_sq * v)
+        k = jnp.zeros((n, 1)).at[ids_d].add(v * float(spe))
+        acc = acc_mod.add_many(acc, full_sum, full_sq, k)
+        drawn[ids[:m]] += spe
+        total_samples += spe * m
+        epochs_run = epoch + 1
+
+        if progress:
+            noise = float(np.max(noise_px))
+            try:
+                progress(
+                    epoch + 1, profile.max_epoch, noise,
+                    layer=profile.layer_name, samples=total_samples,
+                    image=np.asarray(acc.mean).reshape(height, width, -1),
+                )
+            except TypeError:
+                try:
+                    progress(
+                        epoch + 1, profile.max_epoch, noise,
+                        layer=profile.layer_name, samples=total_samples,
+                    )
+                except TypeError:
+                    progress(epoch + 1, profile.max_epoch, noise)
+    return acc, drawn, epochs_run, total_samples
+
+
 def render_layer(
     scene: PreparedScene,
     profile: EvaluationProfile,
@@ -202,7 +313,17 @@ def render_layer(
     total_samples = 0
     start = time.perf_counter()
 
-    for epoch in range(profile.max_epoch):
+    # per-pixel adaptive: min_epoch full-frame epochs (every pixel needs >= 2
+    # samples for a noise estimate), then only still-noisy pixels continue
+    adaptive = (
+        profile.adaptive
+        and profile.evaluator == "path"
+        and profile.max_epoch > profile.min_epoch
+    )
+    full_epochs = profile.min_epoch if adaptive else profile.max_epoch
+
+    epoch = -1
+    for epoch in range(full_epochs):
         s_sum, s_sq = _sample_frame_jit(
             scene,
             profile.evaluator,
@@ -239,11 +360,19 @@ def render_layer(
         if epoch + 1 >= profile.min_epoch and noise < profile.noise_threshold:
             break
 
+    epochs_done = epoch + 1
+    if adaptive and profile.evaluator == "path":
+        drawn = np.full(n, epochs_done * profile.samples_per_epoch, np.int64)
+        acc, drawn, epochs_done, total_samples = _adaptive_epochs(
+            scene, profile, resolution, seed, acc, drawn, epochs_done,
+            progress, total_samples, start,
+        )
+
     elapsed = time.perf_counter() - start
     image = np.asarray(acc.mean).reshape(height, width, channels)
     info = dict(
         samples=total_samples,
-        epochs=epoch + 1,
+        epochs=epochs_done,
         seconds=elapsed,
         samples_per_second=total_samples / max(elapsed, 1e-9),
     )

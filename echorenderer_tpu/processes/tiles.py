@@ -18,6 +18,30 @@ def tile_grid(resolution, tile_size: int = 16) -> tuple[int, int]:
     return -(-w // tile_size), -(-h // tile_size)
 
 
+def lane_order(resolution, tile_size: int = 32) -> tuple[np.ndarray, np.ndarray]:
+    """Tile-major lane permutation for the wavefront: lane i renders pixel
+    perm[i], so every 1024-lane kernel block covers a compact ~32x32 pixel
+    tile instead of a thin scanline strip. Compact blocks are the packet
+    coherence the hierarchical traversal (ops/pallas_hier.py) culls by —
+    worth 2-5x trace throughput on large scenes. Per-pixel results are
+    unchanged (draws key on pixel_id), so images are bit-identical to scan
+    order after the inv[] gather-back.
+
+    Returns (perm, inv): perm (n,) lane -> pixel id, inv (n,) pixel -> lane.
+    """
+    w, h = resolution
+    ids = np.arange(w * h, dtype=np.int64)
+    px, py = ids % w, ids // w
+    ntx = -(-w // tile_size)
+    key = ((py // tile_size) * ntx + (px // tile_size)) * (tile_size * tile_size) + (
+        py % tile_size
+    ) * tile_size + (px % tile_size)
+    perm = np.argsort(key, kind="stable").astype(np.uint32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(w * h, dtype=np.uint32)
+    return perm, inv
+
+
 def ordered(nx: int, ny: int) -> np.ndarray:
     """Row-major scan (reference OrderedPattern)."""
     ys, xs = np.mgrid[0:ny, 0:nx]

@@ -22,6 +22,7 @@ import numpy as np
 
 from ..aggregation.bvh import FlatBVH, build_bvh, geometry_bounds
 from ..ops.intersect import FlatGeometry
+from ..ops.pallas_hier import HIER_BUILD_MIN, build_hier_soa
 from ..ops.pallas_intersect import build_prim_soa
 from . import materials as mat_mod
 from .cameras import Camera, PerspectiveCamera
@@ -130,6 +131,9 @@ class PreparedScene(NamedTuple):
     mat_pack: jax.Array  # (M, 16) float32
     # packed emissive-light rows: [v0(3) e1(3) e2(3) n(3) albedo(3) area is_sph]
     emissive_pack: jax.Array  # (Le, 20) float32
+    # hierarchical kernel tables (ops/pallas_hier.HierSoA) for scenes with
+    # >= HIER_BUILD_MIN padded prims; None below that
+    hier_soa: object = None
 
 
 # resolution each albedo texture is resampled to in the device atlas; a
@@ -565,4 +569,9 @@ def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene
         shade_pack=jnp.asarray(shade),
         mat_pack=jnp.asarray(mat_pack),
         emissive_pack=jnp.asarray(epack),
+        hier_soa=(
+            build_hier_soa(geometry, np.asarray(bvh.prim_order))
+            if num_prims >= HIER_BUILD_MIN
+            else None
+        ),
     )
