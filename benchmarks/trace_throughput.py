@@ -4,7 +4,10 @@ TraceBenchmark analogue — reference misc/performance.txt rows). Run on TPU:
 `python benchmarks/trace_throughput.py tiled`. Numbers (v5e, 2M rays):
 250k tris: hier 13.4 Mrays/s trace / 38 Mrays/s occlude (dense: 1.7);
 1M tris: hier 9.5 / 38."""
-import sys, time
+import os, sys, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

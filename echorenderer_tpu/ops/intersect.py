@@ -25,15 +25,25 @@ RAY_EPSILON = jnp.float32(2.4e-4)
 
 
 class Hit(NamedTuple):
-    """SoA hit record for a batch of rays."""
+    """SoA hit record for a batch of rays. `inst` identifies which scene
+    instance owns the hit for TLAS-instanced scenes (reference
+    TokenHierarchy.cs:17 carries the same instance token alongside the
+    prim token); non-instanced accelerators report instance 0."""
 
     t: jax.Array  # (N,) distance, INF on miss
     prim: jax.Array  # (N,) int32 primitive id, -1 on miss
     uv: jax.Array  # (N, 2) triangle barycentrics (spheres: see interact())
+    inst: jax.Array | None = None  # (N,) int32 instance id (None == all 0)
 
     @property
     def found(self) -> jax.Array:
         return self.prim >= 0
+
+    @property
+    def inst_or_zero(self) -> jax.Array:
+        if self.inst is None:
+            return jnp.zeros_like(self.prim)
+        return self.inst
 
 
 def ray_triangle(o, d, v0, e1, e2):

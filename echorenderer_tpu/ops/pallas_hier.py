@@ -24,6 +24,17 @@ per (ray block, chunk) pair even when the packet test culls the chunk —
 O(C) per block. This kernel visits only the O(log C + hit chunks) nodes the
 packet can actually touch, which is what makes >=256k-primitive scenes
 (BASELINE config #5) tractable.
+
+Instancing (reference Aggregation/Preparation/PreparedInstance.cs:47-61,
+TokenHierarchy.cs:17): the tree's top levels form a TLAS whose leaves are
+*instances*. Popping an instance leaf transforms the resident ray block
+into the instance's pack-local space (12 scalars from SMEM: the inverse
+affine), pushes a RESTORE sentinel and then the pack's BLAS subtree; the
+sentinel pop drains the chunk pipeline and restores the world-space rays.
+Ray parameter t is invariant under the affine map (directions are NOT
+renormalized), so best-t culling works across spaces unchanged. Leaf
+chunks hold pack-LOCAL geometry shared by every instance — a thousand
+instances of a 10k-tri pack cost one copy of the pack plus 12 floats each.
 """
 
 from __future__ import annotations
@@ -58,19 +69,30 @@ HCHUNK = int(_os.environ.get("ECHO_HCHUNK", "256"))
 # (below it the dense two-level-culled kernel wins on fixed costs)
 HIER_BUILD_MIN = 16384
 
+# leaf-code sub-encoding (e = -(code+1)):
+#   e <  INST_BASE           chunk leaf, chunk id = e
+#   INST_BASE <= e < RESTORE instance leaf, instance id = e - INST_BASE
+#   e == RESTORE_E           restore-world sentinel (pushed at inst entry)
+INST_BASE = 1 << 23
+RESTORE_E = 1 << 24
+RESTORE_CODE = -(1 + RESTORE_E)
+
 
 class HierSoA(NamedTuple):
     """Device tables for the hierarchical kernel."""
 
     prim_chunks: jax.Array  # (C, 16, HCHUNK) f32: rows 0-9 components, 10 is_sphere
     bounds: jax.Array  # (B*12,) f32: per node, per child: min xyz / max xyz
-    codes: jax.Array  # (B*2,) i32: child codes (>=0 node, <0 -(1+chunk))
-    order: jax.Array  # (P,) int32 sorted slot -> original prim id
-    inv_order: jax.Array  # (P,) int32 original id -> sorted slot
-    root_code: int  # static: root node index
+    codes: jax.Array  # (B*2,) i32: child codes (>=0 node, <0 -(1+e))
+    order: jax.Array  # (P,) int32 sorted slot -> storage prim id
+    inv_order: jax.Array  # (P,) int32 storage id -> sorted slot
+    inst_f32: jax.Array  # (I*12,) f32 per-instance inverse affine (A row-major, b)
+    inst_codes: jax.Array  # (I,) i32 per-instance BLAS subtree root code
+    root_code: int  # static: root node code (may itself be a leaf)
     stack_size: int  # static: SMEM stack length (tree depth + margin)
     num_tris: int
     num_prims: int
+    instanced: bool = False  # static: TLAS/instance leaves present
 
     @property
     def num_chunks(self) -> int:
@@ -79,7 +101,7 @@ class HierSoA(NamedTuple):
 
 jax.tree_util.register_pytree_node(
     HierSoA,
-    lambda s: (tuple(s[:5]), tuple(s[5:])),
+    lambda s: (tuple(s[:7]), tuple(s[7:])),
     lambda aux, xs: HierSoA(*xs, *aux),
 )
 
@@ -97,20 +119,12 @@ def _tree_depth(child_code: np.ndarray, root: int) -> int:
     return depth
 
 
-def build_hier_soa(geom: FlatGeometry, order: np.ndarray) -> HierSoA:
-    """Host-side build: pack prims (sorted order) into (C, 16, HCHUNK)
-    chunks and build a binary SAH tree over the chunk AABBs (reusing the
-    production builder from aggregation/bvh.py, native-accelerated)."""
-    from ..aggregation.bvh import build_bvh
-
-    t = geom.num_triangles
-    p = t + geom.num_spheres
-    order = np.asarray(order, np.int32)
-    inv_order = np.empty_like(order)
-    inv_order[order] = np.arange(p, dtype=np.int32)
-
+def _pack_chunks(geom: FlatGeometry, order: np.ndarray):
+    """Pack prims (already permuted into `order`) into (C, 16, HCHUNK)
+    chunk tensors plus per-chunk AABBs. Returns (prim_chunks, clo, chi)."""
+    p = len(order)
     a, b, c, is_sph, lo, hi = pack_sorted_prims(geom, order)
-    pad = -(-p // HCHUNK) * HCHUNK
+    pad = -(-max(p, 1) // HCHUNK) * HCHUNK
     n_chunks = pad // HCHUNK
 
     rows = np.zeros((16, pad), np.float32)
@@ -123,7 +137,6 @@ def build_hier_soa(geom: FlatGeometry, order: np.ndarray) -> HierSoA:
         rows[i, :p] = col
     prim_chunks = rows.reshape(16, n_chunks, HCHUNK).transpose(1, 0, 2).copy()
 
-    # per-chunk AABBs over the real prims only
     clo = np.full((n_chunks, 3), 1e30, np.float32)
     chi = np.full((n_chunks, 3), -1e30, np.float32)
     for ci in range(n_chunks):
@@ -131,52 +144,250 @@ def build_hier_soa(geom: FlatGeometry, order: np.ndarray) -> HierSoA:
         if seg.start < p:
             clo[ci] = lo[seg].min(0)
             chi[ci] = hi[seg].max(0)
+    return prim_chunks, clo, chi
 
+
+def _chunk_tree(clo: np.ndarray, chi: np.ndarray, chunk_base: int,
+                node_base: int):
+    """Binary SAH tree over chunk AABBs with node indices offset by
+    `node_base` and chunk-leaf codes offset by `chunk_base`. Returns
+    (bounds (B,2,6), codes (B,2), root_code, depth); B may be 0 when a
+    single chunk collapses to a leaf root."""
+    from ..aggregation.bvh import build_bvh
+
+    n = clo.shape[0]
+    if n == 1:
+        return (np.zeros((0, 2, 6), np.float32), np.zeros((0, 2), np.int32),
+                -(1 + chunk_base), 1)
     tree = build_bvh(clo, chi, leaf_max=1)
     child_min = np.asarray(tree.child_min)
     child_max = np.asarray(tree.child_max)
     child_code = np.asarray(tree.child_code).copy()
     chunk_order = np.asarray(tree.prim_order)
     root = int(tree.root_code)
-    assert root >= 0, "hier tree root must be interior (>= 2 chunks)"
+    assert root >= 0
 
-    # re-encode leaf codes -(1+(start<<4)+count) -> -(1+chunk_id)
     leaf = child_code < 0
     start = (-(child_code + 1)) >> 4
-    child_code[leaf] = -(1 + chunk_order[start[leaf]])
+    child_code[leaf] = -(1 + chunk_base + chunk_order[start[leaf]])
+    child_code[~leaf] += node_base
+    bounds = np.concatenate([child_min, child_max], axis=2).astype(np.float32)
+    depth = _offset_tree_depth(child_code, root + node_base, node_base)
+    return bounds, child_code, root + node_base, depth
 
-    bounds = np.concatenate(
-        [child_min, child_max], axis=2  # (B, 2, 6): min xyz, max xyz
-    ).reshape(-1).astype(np.float32)
-    depth = _tree_depth(child_code, root)
+
+def _offset_tree_depth(child_code: np.ndarray, root: int, node_base: int) -> int:
+    depth = 0
+    stack = [(root, 1)]
+    while stack:
+        node, d = stack.pop()
+        depth = max(depth, d)
+        if node >= 0:
+            local = node - node_base
+            stack.append((int(child_code[local, 0]), d + 1))
+            stack.append((int(child_code[local, 1]), d + 1))
+    return depth
+
+
+def build_hier_soa(geom: FlatGeometry, order: np.ndarray) -> HierSoA:
+    """Host-side build for a single (non-instanced) geometry: pack prims
+    (sorted order) into chunks and build a binary SAH tree over the chunk
+    AABBs (reusing the production builder from aggregation/bvh.py,
+    native-accelerated)."""
+    t = geom.num_triangles
+    p = t + geom.num_spheres
+    order = np.asarray(order, np.int32)
+    inv_order = np.empty_like(order)
+    inv_order[order] = np.arange(p, dtype=np.int32)
+
+    prim_chunks, clo, chi = _pack_chunks(geom, order)
+    bounds, codes, root, depth = _chunk_tree(clo, chi, 0, 0)
+    assert root >= 0, "hier tree root must be interior (>= 2 chunks)"
 
     return HierSoA(
         prim_chunks=jnp.asarray(prim_chunks),
-        bounds=jnp.asarray(bounds),
-        codes=jnp.asarray(child_code.reshape(-1)),
+        bounds=jnp.asarray(bounds.reshape(-1)),
+        codes=jnp.asarray(codes.reshape(-1)),
         order=jnp.asarray(order),
         inv_order=jnp.asarray(inv_order),
+        inst_f32=jnp.zeros((0,), jnp.float32),
+        inst_codes=jnp.zeros((0,), jnp.int32),
         root_code=root,
         stack_size=depth + 8,
         num_tris=t,
         num_prims=p,
+        instanced=False,
     )
+
+
+def build_hier_soa_instanced(
+    geom: FlatGeometry,
+    pack_orders: list[np.ndarray],
+    inst_pack: np.ndarray,
+    inst_inv_a: np.ndarray,
+    inst_inv_b: np.ndarray,
+    inst_lo: np.ndarray,
+    inst_hi: np.ndarray,
+) -> HierSoA:
+    """Instanced build. `geom` holds every pack's LOCAL-space primitives in
+    one storage id space; `pack_orders[k]` is the BVH-leaf-ordered storage
+    prim ids of pack k (its BLAS order). Per instance i: `inst_pack[i]` the
+    pack id, `inst_inv_a[i]` (3,3) + `inst_inv_b[i]` (3,) the world->local
+    inverse affine (x_local = A x + b), and `inst_lo/hi[i]` the world-space
+    instance AABB (for the TLAS).
+
+    Layout: chunks are packed per pack (padded to HCHUNK so no chunk spans
+    packs) and concatenated; node storage = [TLAS nodes] ++ [pack subtrees]
+    with absolute child codes. TLAS leaves encode -(1+INST_BASE+i).
+    """
+    from ..aggregation.bvh import build_bvh
+
+    t = geom.num_triangles
+    p = t + geom.num_spheres
+    n_inst = len(inst_pack)
+
+    # --- per-pack chunk packing + subtrees ---
+    all_chunks, pack_roots, pack_depths = [], [], []
+    order_parts = []
+    bounds_parts, codes_parts = [], []
+    chunk_base = 0
+    # TLAS nodes occupy [0, n_tlas); pack subtree nodes follow. Build pack
+    # trees first with a placeholder base, then offset once n_tlas is known
+    # — instead, build TLAS first (it only needs instance AABBs).
+    if n_inst >= 2:
+        tlas = build_bvh(
+            np.asarray(inst_lo, np.float32), np.asarray(inst_hi, np.float32),
+            leaf_max=1,
+        )
+        t_min = np.asarray(tlas.child_min)
+        t_max = np.asarray(tlas.child_max)
+        t_code = np.asarray(tlas.child_code).copy()
+        t_order = np.asarray(tlas.prim_order)
+        leaf = t_code < 0
+        start = (-(t_code + 1)) >> 4
+        t_code[leaf] = -(1 + INST_BASE + t_order[start[leaf]])
+        tlas_bounds = np.concatenate([t_min, t_max], axis=2).astype(np.float32)
+        tlas_codes = t_code
+        root = int(tlas.root_code)
+        assert root >= 0
+        n_tlas = tlas_bounds.shape[0]
+        tlas_depth = _offset_tree_depth(tlas_codes, root, 0)
+    else:
+        tlas_bounds = np.zeros((0, 2, 6), np.float32)
+        tlas_codes = np.zeros((0, 2), np.int32)
+        root = -(1 + INST_BASE + 0)
+        n_tlas = 0
+        tlas_depth = 1
+
+    node_base = n_tlas
+    for order_k in pack_orders:
+        order_k = np.asarray(order_k, np.int32)
+        sub, pos = _sub_geometry(geom, order_k)
+        chunks_k, clo_k, chi_k = _pack_chunks(sub, pos)
+        b_k, c_k, root_k, depth_k = _chunk_tree(clo_k, chi_k, chunk_base, node_base)
+        all_chunks.append(chunks_k)
+        bounds_parts.append(b_k)
+        codes_parts.append(c_k)
+        pack_roots.append(root_k)
+        pack_depths.append(depth_k)
+        order_parts.append(order_k)
+        chunk_base += chunks_k.shape[0]
+        node_base += b_k.shape[0]
+
+    order = np.concatenate(order_parts) if order_parts else np.zeros(0, np.int32)
+    # sorted slot k corresponds to storage prim order[k']; padding within
+    # pack chunk blocks shifts slots, so rebuild the slot map chunk-aligned
+    slot_of = np.full(p, -1, np.int64)
+    slot = 0
+    sorted_ids = np.full(chunk_base * HCHUNK, -1, np.int64)
+    for order_k in pack_orders:
+        for pid in np.asarray(order_k, np.int64):
+            sorted_ids[slot] = pid
+            slot += 1
+        slot = -(-slot // HCHUNK) * HCHUNK  # chunk padding gap
+    valid = sorted_ids >= 0
+    slot_of[sorted_ids[valid]] = np.nonzero(valid)[0]
+
+    prim_chunks = np.concatenate(all_chunks, 0)
+    bounds = np.concatenate([tlas_bounds] + bounds_parts, 0)
+    codes = np.concatenate([tlas_codes] + codes_parts, 0)
+    if bounds.shape[0] == 0:
+        # degenerate single-instance/single-chunk scene: the walk still
+        # reads node 0's slots under the leaf mask — keep them in bounds
+        bounds = np.zeros((1, 2, 6), np.float32)
+        codes = np.zeros((1, 2), np.int32)
+
+    # kernel-facing order/inv_order operate on chunk-aligned slots: order
+    # maps slot -> storage id (padding slots -1 -> clamp), inv maps id -> slot
+    order_slots = np.where(sorted_ids >= 0, sorted_ids, 0).astype(np.int32)
+
+    inst_f32 = np.concatenate(
+        [np.asarray(inst_inv_a, np.float32).reshape(n_inst, 9),
+         np.asarray(inst_inv_b, np.float32).reshape(n_inst, 3)], axis=1
+    ).reshape(-1)
+    inst_codes = np.asarray([pack_roots[k] for k in inst_pack], np.int32)
+
+    depth = tlas_depth + max(pack_depths) + 2  # +RESTORE and inst push margin
+    return HierSoA(
+        prim_chunks=jnp.asarray(prim_chunks),
+        bounds=jnp.asarray(bounds.reshape(-1)),
+        codes=jnp.asarray(codes.reshape(-1)),
+        order=jnp.asarray(order_slots),
+        inv_order=jnp.asarray(slot_of.astype(np.int32)),
+        inst_f32=jnp.asarray(inst_f32),
+        inst_codes=jnp.asarray(inst_codes),
+        root_code=root,
+        stack_size=depth + 8,
+        num_tris=t,
+        num_prims=p,
+        instanced=True,
+    )
+
+
+def _sub_geometry(geom: FlatGeometry, ids: np.ndarray):
+    """Sub-geometry restricted to storage prim ids `ids` plus the
+    permutation that restores the caller's id order (FlatGeometry groups
+    tris before spheres; pack_sorted_prims(sub, pos) then yields prims in
+    the requested sequence). Only the fields pack_sorted_prims reads are
+    populated."""
+    t = geom.num_triangles
+    ids = np.asarray(ids, np.int64)
+    tri_ids = ids[ids < t]
+    sph_ids = ids[ids >= t] - t
+    sel = lambda a, idx, w: (
+        np.asarray(a)[idx]
+        if len(idx)
+        else np.zeros((0,) + ((w,) if w else ()), np.float32)
+    )
+    z2 = np.zeros((len(tri_ids), 2), np.float32)
+    z3 = np.zeros((len(tri_ids), 3), np.float32)
+    sub = FlatGeometry(
+        tri_v0=sel(geom.tri_v0, tri_ids, 3), tri_e1=sel(geom.tri_e1, tri_ids, 3),
+        tri_e2=sel(geom.tri_e2, tri_ids, 3),
+        tri_n0=z3, tri_n1=z3, tri_n2=z3, tri_uv0=z2, tri_uv1=z2, tri_uv2=z2,
+        tri_mat=np.zeros(len(tri_ids), np.int32),
+        sph_center=sel(geom.sph_center, sph_ids, 3),
+        sph_radius=sel(geom.sph_radius, sph_ids, 0),
+        sph_mat=np.zeros(len(sph_ids), np.int32),
+    )
+    pos = np.empty(len(ids), np.int64)
+    pos[ids < t] = np.arange(len(tri_ids))
+    pos[ids >= t] = len(tri_ids) + np.arange(len(sph_ids))
+    return sub, pos.astype(np.int32)
 
 
 def _row(ref):
     return ref[:].reshape(1, -1)
 
 
-def _child_slab(bounds_ref, node, side, ox, oy, oz, ix, iy, iz, limit):
-    """Vector slab test of the whole ray block against one child AABB read
-    from SMEM. Returns (any-ray-hit scalar, min entry distance scalar)."""
-    base = node * 12 + side * 6
-    t0x = (bounds_ref[base + 0] - ox) * ix
-    t0y = (bounds_ref[base + 1] - oy) * iy
-    t0z = (bounds_ref[base + 2] - oz) * iz
-    t1x = (bounds_ref[base + 3] - ox) * ix
-    t1y = (bounds_ref[base + 4] - oy) * iy
-    t1z = (bounds_ref[base + 5] - oz) * iz
+def _slab(bmin_x, bmin_y, bmin_z, bmax_x, bmax_y, bmax_z,
+          ox, oy, oz, ix, iy, iz, limit):
+    t0x = (bmin_x - ox) * ix
+    t0y = (bmin_y - oy) * iy
+    t0z = (bmin_z - oz) * iz
+    t1x = (bmax_x - ox) * ix
+    t1y = (bmax_y - oy) * iy
+    t1z = (bmax_z - oz) * iz
     tn = jnp.maximum(
         jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
         jnp.minimum(t0z, t1z),
@@ -189,26 +400,62 @@ def _child_slab(bounds_ref, node, side, ox, oy, oz, ix, iy, iz, limit):
     return jnp.any(ok), jnp.min(jnp.where(ok, tn, _INF))
 
 
-def _hier_kernel(bounds_ref, codes_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
-                 tmax_r, ign_r, prim_hbm, *outs_and_scratch,
-                 root_code, n_sub, has_tri, has_sph, any_hit):
+def _hier_kernel(*refs, root_code, n_sub, has_tri, has_sph, any_hit,
+                 instanced):
+    """Packet tree walk. Ref layout (in order):
+      scalar prefetch: bounds, codes[, inst_f32, inst_i32]
+      ray cols: ox oy oz dx dy dz tmax ign[ igninst]
+      prim_hbm
+      outputs: blocked | (t p u v[ inst])
+      scratch: pscratch stack dstate[ rstate cur_inst] sem0 sem1
+    """
+    i = 0
+    bounds_ref = refs[i]; i += 1
+    codes_ref = refs[i]; i += 1
+    if instanced:
+        instf_ref = refs[i]; i += 1
+        insti_ref = refs[i]; i += 1
+    ray_refs = refs[i : i + 8]; i += 8
+    if instanced:
+        igninst_ref = refs[i]; i += 1
+    prim_hbm = refs[i]; i += 1
     if any_hit:
-        (out_ref, pscratch, stack, dstate, sem0, sem1) = outs_and_scratch
+        out_ref = refs[i]; i += 1
     else:
-        (t_out, p_out, u_out, v_out, pscratch, stack, dstate, sem0, sem1) = (
-            outs_and_scratch
-        )
+        t_out = refs[i]; p_out = refs[i + 1]; u_out = refs[i + 2]
+        v_out = refs[i + 3]; i += 4
+        if instanced:
+            i_out = refs[i]; i += 1
+    pscratch = refs[i]; stack = refs[i + 1]; dstate = refs[i + 2]; i += 3
+    if instanced:
+        rstate = refs[i]; cur_inst = refs[i + 1]; i += 2
+    sem0 = refs[i]; sem1 = refs[i + 1]
 
     S = (1, RAY_BLOCK // 128, 128)
-    ox, oy, oz = _row(ox_r), _row(oy_r), _row(oz_r)
-    dx, dy, dz = _row(dx_r), _row(dy_r), _row(dz_r)
-    tmax = _row(tmax_r)
-    ign = _row(ign_r)
+    w_ox, w_oy, w_oz = (_row(r) for r in ray_refs[0:3])
+    w_dx, w_dy, w_dz = (_row(r) for r in ray_refs[3:6])
+    tmax = _row(ray_refs[6])
+    ign = _row(ray_refs[7])
 
     inv = lambda d: jnp.where(
         jnp.abs(d) < 1e-12, 1e12 * jnp.where(d < 0, -1.0, 1.0), 1.0 / d
     )
-    ix, iy, iz = inv(dx), inv(dy), inv(dz)
+    w_ix, w_iy, w_iz = inv(w_dx), inv(w_dy), inv(w_dz)
+
+    if instanced:
+        ign_inst = _row(igninst_ref)
+        # resident ray state: rows 0-2 o, 3-5 d, 6-8 inv d (current space)
+        for k, r in enumerate((w_ox, w_oy, w_oz, w_dx, w_dy, w_dz,
+                               w_ix, w_iy, w_iz)):
+            rstate[k] = r.reshape(-1)
+        cur_inst[0] = -1
+
+    def rays():
+        if instanced:
+            rs = lambda k: rstate[k].reshape(1, -1)
+            return (rs(0), rs(1), rs(2), rs(3), rs(4), rs(5),
+                    rs(6), rs(7), rs(8))
+        return (w_ox, w_oy, w_oz, w_dx, w_dy, w_dz, w_ix, w_iy, w_iz)
 
     # init outputs (they double as the running state)
     if any_hit:
@@ -218,6 +465,8 @@ def _hier_kernel(bounds_ref, codes_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
         p_out[:] = jnp.full(S, -1.0, jnp.float32)
         u_out[:] = jnp.zeros(S, jnp.float32)
         v_out[:] = jnp.zeros(S, jnp.float32)
+        if instanced:
+            i_out[:] = jnp.zeros(S, jnp.float32)
 
     # occupancy gate: dead blocks (regeneration tails, t_max <= 0) skip
     # the walk outright
@@ -230,7 +479,9 @@ def _hier_kernel(bounds_ref, codes_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
     def wait_and_intersect():
         """Wait for the pending chunk's DMA and intersect it (double-buffer
         drain: called when the NEXT leaf's DMA has already been started, so
-        the copy flies while this runs)."""
+        the copy flies while this runs). Under instancing the pending chunk
+        always belongs to the CURRENT instance (the pipeline is drained
+        before any ray-space switch)."""
         pend = dstate[0]
         buf = dstate[1]
 
@@ -242,6 +493,15 @@ def _hier_kernel(bounds_ref, codes_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
         def _():
             pltpu.make_async_copy(prim_hbm.at[pend], pscratch.at[1], sem1).wait()
 
+        ox, oy, oz, dx, dy, dz, _, _, _ = rays()
+        if instanced:
+            # the ignore prim applies only inside its own instance
+            eff_ign = jnp.where(
+                ign_inst == cur_inst[0].astype(jnp.float32), ign, -1.0
+            )
+        else:
+            eff_ign = ign
+
         src = pscratch[buf]  # (16, HCHUNK) dynamic-indexed VMEM load
         if any_hit:
             prev = out_ref[:].reshape(1, -1)
@@ -251,11 +511,14 @@ def _hier_kernel(bounds_ref, codes_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
             best_p = p_out[:].reshape(1, -1)
             best_u = u_out[:].reshape(1, -1)
             best_v = v_out[:].reshape(1, -1)
+            if instanced:
+                best_i = i_out[:].reshape(1, -1)
         for s in range(n_sub):
             rows = [src[i : i + 1, s * 128 : (s + 1) * 128] for i in range(10)]
             k_base = (pend * HCHUNK + s * 128).astype(jnp.float32)
             t, u, v, pid = _chunk_hits(
-                rows, k_base, ox, oy, oz, dx, dy, dz, ign, has_tri, has_sph
+                rows, k_base, ox, oy, oz, dx, dy, dz, eff_ign, has_tri,
+                has_sph, unit_dir=not instanced,
             )
             if any_hit:
                 hit = jnp.any(t < lim, axis=0, keepdims=True)
@@ -271,6 +534,8 @@ def _hier_kernel(bounds_ref, codes_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
                 best_p = jnp.where(closer, pm, best_p)
                 best_u = jnp.where(closer, um, best_u)
                 best_v = jnp.where(closer, vm, best_v)
+                if instanced:
+                    best_i = jnp.where(closer, cur_inst[0].astype(jnp.float32), best_i)
         if any_hit:
             out_ref[:] = prev.reshape(S)
         else:
@@ -278,11 +543,14 @@ def _hier_kernel(bounds_ref, codes_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
             p_out[:] = best_p.reshape(S)
             u_out[:] = best_u.reshape(S)
             v_out[:] = best_v.reshape(S)
+            if instanced:
+                i_out[:] = best_i.reshape(S)
 
     def body(sp):
         code = stack[sp - 1]
         sp = sp - 1
         is_leaf = code < 0
+        e = -(code + 1)
 
         if any_hit:
             blocked = out_ref[:].reshape(1, -1)
@@ -290,9 +558,20 @@ def _hier_kernel(bounds_ref, codes_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
         else:
             limit = t_out[:].reshape(1, -1)
 
+        ox, oy, oz, dx, dy, dz, ix, iy, iz = rays()
+
         node = jnp.maximum(code, 0)
-        h0, tn0 = _child_slab(bounds_ref, node, 0, ox, oy, oz, ix, iy, iz, limit)
-        h1, tn1 = _child_slab(bounds_ref, node, 1, ox, oy, oz, ix, iy, iz, limit)
+        base = node * 12
+        h0, tn0 = _slab(
+            bounds_ref[base + 0], bounds_ref[base + 1], bounds_ref[base + 2],
+            bounds_ref[base + 3], bounds_ref[base + 4], bounds_ref[base + 5],
+            ox, oy, oz, ix, iy, iz, limit,
+        )
+        h1, tn1 = _slab(
+            bounds_ref[base + 6], bounds_ref[base + 7], bounds_ref[base + 8],
+            bounds_ref[base + 9], bounds_ref[base + 10], bounds_ref[base + 11],
+            ox, oy, oz, ix, iy, iz, limit,
+        )
         h0 = h0 & ~is_leaf
         h1 = h1 & ~is_leaf
         c0 = codes_ref[2 * node]
@@ -318,11 +597,18 @@ def _hier_kernel(bounds_ref, codes_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
 
         sp2 = sp1 + near_hit.astype(jnp.int32)
 
-        @pl.when(is_leaf)
+        if instanced:
+            is_restore = is_leaf & (e == RESTORE_E)
+            is_inst = is_leaf & (e >= INST_BASE) & ~is_restore
+            is_chunk = is_leaf & (e < INST_BASE)
+        else:
+            is_chunk = is_leaf
+
+        @pl.when(is_chunk)
         def _():
             # pipelined leaf: start THIS chunk's DMA into the other buffer,
             # then intersect the PREVIOUS chunk while the copy flies
-            chunk = -(code + 1)
+            chunk = e
             pend = dstate[0]
             nb = jnp.where(pend >= 0, 1 - dstate[1], 0)
 
@@ -338,6 +624,49 @@ def _hier_kernel(bounds_ref, codes_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
             dstate[0] = chunk
             dstate[1] = nb
 
+        if instanced:
+
+            @pl.when(is_inst)
+            def _():
+                # drain the pipeline (its chunk used the previous space),
+                # then switch the resident rays into this instance's local
+                # space and descend into its BLAS
+                pl.when(dstate[0] >= 0)(wait_and_intersect)
+                dstate[0] = -1
+                inst = e - INST_BASE
+                fb = inst * 12
+                a = [instf_ref[fb + k] for k in range(9)]
+                b = [instf_ref[fb + 9 + k] for k in range(3)]
+                lox = a[0] * w_ox + a[1] * w_oy + a[2] * w_oz + b[0]
+                loy = a[3] * w_ox + a[4] * w_oy + a[5] * w_oz + b[1]
+                loz = a[6] * w_ox + a[7] * w_oy + a[8] * w_oz + b[2]
+                ldx = a[0] * w_dx + a[1] * w_dy + a[2] * w_dz
+                ldy = a[3] * w_dx + a[4] * w_dy + a[5] * w_dz
+                ldz = a[6] * w_dx + a[7] * w_dy + a[8] * w_dz
+                for k, r in enumerate((lox, loy, loz, ldx, ldy, ldz,
+                                       inv(ldx), inv(ldy), inv(ldz))):
+                    rstate[k] = r.reshape(-1)
+                cur_inst[0] = inst
+
+            sp_inst = sp2  # captured before the pushes below
+
+            @pl.when(is_inst)
+            def _():
+                stack[sp_inst] = RESTORE_CODE
+                stack[sp_inst + 1] = insti_ref[jnp.maximum(e - INST_BASE, 0)]
+
+            sp2 = sp2 + jnp.where(is_inst, 2, 0)
+
+            @pl.when(is_restore)
+            def _():
+                # drain under the instance's space, then restore world rays
+                pl.when(dstate[0] >= 0)(wait_and_intersect)
+                dstate[0] = -1
+                for k, r in enumerate((w_ox, w_oy, w_oz, w_dx, w_dy, w_dz,
+                                       w_ix, w_iy, w_iz)):
+                    rstate[k] = r.reshape(-1)
+                cur_inst[0] = -1
+
         if any_hit:
             # early exit once every live ray is blocked (the lagging
             # pending chunk is drained after the loop regardless)
@@ -349,84 +678,83 @@ def _hier_kernel(bounds_ref, codes_ref, ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
     pl.when(dstate[0] >= 0)(wait_and_intersect)  # drain the last chunk
 
 
-@functools.partial(
-    jax.jit, static_argnames=("root_code", "stack_size", "num_tris", "num_prims")
-)
-def _hier_trace_call(cols, prim_chunks, bounds, codes, root_code, stack_size,
-                     num_tris, num_prims):
-    g = cols[0].shape[0]
+def _build_call(soa_static, any_hit):
+    root_code, stack_size, num_tris, num_prims, instanced = soa_static
     kernel = functools.partial(
         _hier_kernel,
         root_code=root_code,
         n_sub=HCHUNK // 128,
         has_tri=num_tris > 0,
         has_sph=num_prims > num_tris,
-        any_hit=False,
+        any_hit=any_hit,
+        instanced=instanced,
     )
+    n_ray_cols = 9 if instanced else 8
+    n_out = 1 if any_hit else (5 if instanced else 4)
+    n_prefetch = 4 if instanced else 2
+
+    def index_map(*args):
+        # grid index + prefetch refs appended; ray blocks walk the grid
+        return (args[0], 0, 0)
+
     ray_spec = pl.BlockSpec(
-        (1, RAY_BLOCK // 128, 128), lambda i, b, c: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, RAY_BLOCK // 128, 128), index_map, memory_space=pltpu.VMEM
     )
-    out_shape = [jax.ShapeDtypeStruct((g, RAY_BLOCK // 128, 128), jnp.float32)] * 4
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(g,),
-        in_specs=[ray_spec] * 8 + [pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[ray_spec] * 4,
-        scratch_shapes=[
-            pltpu.VMEM((2, 16, HCHUNK), jnp.float32),  # double buffer
-            pltpu.SMEM((stack_size,), jnp.int32),
-            pltpu.SMEM((2,), jnp.int32),  # (pending chunk, its buffer)
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
-    t, p, u, v = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
-        interpret=_interpret(),
-    )(bounds, codes, *cols, prim_chunks)
-    return t.reshape(-1), p.reshape(-1), u.reshape(-1), v.reshape(-1)
+    scratch = [
+        pltpu.VMEM((2, 16, HCHUNK), jnp.float32),  # double buffer
+        pltpu.SMEM((stack_size,), jnp.int32),
+        pltpu.SMEM((2,), jnp.int32),  # (pending chunk, its buffer)
+    ]
+    if instanced:
+        scratch.append(pltpu.VMEM((9, RAY_BLOCK), jnp.float32))  # ray state
+        scratch.append(pltpu.SMEM((1,), jnp.int32))  # current instance
+    scratch.append(pltpu.SemaphoreType.DMA(()))
+    scratch.append(pltpu.SemaphoreType.DMA(()))
+
+    def call(cols, prim_chunks, bounds, codes, inst_f32, inst_codes):
+        g = cols[0].shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_prefetch,
+            grid=(g,),
+            in_specs=[ray_spec] * n_ray_cols + [pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=[ray_spec] * n_out if n_out > 1 else ray_spec,
+            scratch_shapes=scratch,
+        )
+        out_shape = jax.ShapeDtypeStruct((g, RAY_BLOCK // 128, 128), jnp.float32)
+        out_shapes = [out_shape] * n_out if n_out > 1 else out_shape
+        prefetch = (bounds, codes, inst_f32, inst_codes) if instanced else (bounds, codes)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+            interpret=_interpret(),
+        )(*prefetch, *cols, prim_chunks)
+
+    return call
 
 
-@functools.partial(
-    jax.jit, static_argnames=("root_code", "stack_size", "num_tris", "num_prims")
-)
-def _hier_occlude_call(cols, prim_chunks, bounds, codes, root_code, stack_size,
-                       num_tris, num_prims):
-    g = cols[0].shape[0]
-    kernel = functools.partial(
-        _hier_kernel,
-        root_code=root_code,
-        n_sub=HCHUNK // 128,
-        has_tri=num_tris > 0,
-        has_sph=num_prims > num_tris,
-        any_hit=True,
+@functools.partial(jax.jit, static_argnames=("soa_static",))
+def _hier_trace_call(cols, prim_chunks, bounds, codes, inst_f32, inst_codes,
+                     soa_static):
+    out = _build_call(soa_static, any_hit=False)(
+        cols, prim_chunks, bounds, codes, inst_f32, inst_codes
     )
-    ray_spec = pl.BlockSpec(
-        (1, RAY_BLOCK // 128, 128), lambda i, b, c: (i, 0, 0), memory_space=pltpu.VMEM
+    instanced = soa_static[4]
+    if instanced:
+        t, p, u, v, ii = out
+        return (t.reshape(-1), p.reshape(-1), u.reshape(-1), v.reshape(-1),
+                ii.reshape(-1))
+    t, p, u, v = out
+    return t.reshape(-1), p.reshape(-1), u.reshape(-1), v.reshape(-1), None
+
+
+@functools.partial(jax.jit, static_argnames=("soa_static",))
+def _hier_occlude_call(cols, prim_chunks, bounds, codes, inst_f32, inst_codes,
+                       soa_static):
+    blocked = _build_call(soa_static, any_hit=True)(
+        cols, prim_chunks, bounds, codes, inst_f32, inst_codes
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(g,),
-        in_specs=[ray_spec] * 8 + [pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=ray_spec,
-        scratch_shapes=[
-            pltpu.VMEM((2, 16, HCHUNK), jnp.float32),  # double buffer
-            pltpu.SMEM((stack_size,), jnp.int32),
-            pltpu.SMEM((2,), jnp.int32),  # (pending chunk, its buffer)
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
-    blocked = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((g, RAY_BLOCK // 128, 128), jnp.float32),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
-        interpret=_interpret(),
-    )(bounds, codes, *cols, prim_chunks)
     return blocked.reshape(-1)
 
 
@@ -435,31 +763,62 @@ def _sorted_ignore(soa: HierSoA, ignore):
     return jnp.where(ignore >= 0, ig, -1)
 
 
-def intersect_hier(geom: FlatGeometry, soa: HierSoA, o, d, t_max, ignore) -> Hit:
+def _static(soa: HierSoA):
+    return (soa.root_code, soa.stack_size, soa.num_tris, soa.num_prims,
+            soa.instanced)
+
+
+def _cols_with_inst(soa, o, d, t_max, ignore, ignore_inst, n_pad):
+    cols = _ray_cols(o, d, t_max, _sorted_ignore(soa, ignore), n_pad)
+    if not soa.instanced:
+        return cols
+    n = o.shape[0]
+    if ignore_inst is None:
+        ii = jnp.full((n,), -1.0, jnp.float32)
+    else:
+        ii = jnp.where(ignore >= 0, ignore_inst.astype(jnp.float32), -1.0)
+    ii = jnp.pad(ii, (0, n_pad - n), constant_values=-1.0)
+    return cols + (ii.reshape(-1, RAY_BLOCK // 128, 128),)
+
+
+def intersect_hier(geom: FlatGeometry, soa: HierSoA, o, d, t_max, ignore,
+                   ignore_inst=None) -> Hit:
     """Closest-hit via the hierarchical packet kernel. Same contract as
-    intersect_pallas (Hit.prim in ORIGINAL prim ids)."""
+    intersect_pallas (Hit.prim in storage/original prim ids); instanced
+    scenes also report Hit.inst (which instance owns the hit)."""
     n = o.shape[0]
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
-    cols = _ray_cols(o, d, t_max, _sorted_ignore(soa, ignore), n_pad)
-    t, p, u, v = _hier_trace_call(
-        cols, soa.prim_chunks, soa.bounds, soa.codes,
-        soa.root_code, soa.stack_size, soa.num_tris, soa.num_prims,
+    cols = _cols_with_inst(soa, o, d, t_max, ignore, ignore_inst, n_pad)
+    t, p, u, v, ii = _hier_trace_call(
+        cols, soa.prim_chunks, soa.bounds, soa.codes, soa.inst_f32,
+        soa.inst_codes, _static(soa),
     )
     t, p, u, v = t[:n], p[:n], u[:n], v[:n]
-    # padded prims can never win (v0 at 1e30 / det 0), so p < num_prims
-    sorted_id = jnp.clip(p, 0.0, soa.num_prims - 1).astype(jnp.int32)
+    # padded prims can never win (v0 at 1e30 / det 0), so p < slot count
+    sorted_id = jnp.clip(p, 0.0, soa.order.shape[0] - 1).astype(jnp.int32)
     prim = jnp.where(p >= 0.0, soa.order[sorted_id], -1)
     found = prim >= 0
     uv = jnp.stack([u, v], axis=-1)
-    return Hit(t=jnp.where(found, t, INF), prim=jnp.where(found, prim, -1), uv=uv)
+    inst = (
+        jnp.where(found, ii[:n].astype(jnp.int32), 0)
+        if ii is not None
+        else jnp.zeros((n,), jnp.int32)
+    )
+    return Hit(
+        t=jnp.where(found, t, INF),
+        prim=jnp.where(found, prim, -1),
+        uv=uv,
+        inst=inst,
+    )
 
 
-def occlude_hier(geom: FlatGeometry, soa: HierSoA, o, d, t_max, ignore) -> jax.Array:
+def occlude_hier(geom: FlatGeometry, soa: HierSoA, o, d, t_max, ignore,
+                 ignore_inst=None) -> jax.Array:
     n = o.shape[0]
     n_pad = -(-n // RAY_BLOCK) * RAY_BLOCK
-    cols = _ray_cols(o, d, t_max, _sorted_ignore(soa, ignore), n_pad)
+    cols = _cols_with_inst(soa, o, d, t_max, ignore, ignore_inst, n_pad)
     blocked = _hier_occlude_call(
-        cols, soa.prim_chunks, soa.bounds, soa.codes,
-        soa.root_code, soa.stack_size, soa.num_tris, soa.num_prims,
+        cols, soa.prim_chunks, soa.bounds, soa.codes, soa.inst_f32,
+        soa.inst_codes, _static(soa),
     )
     return blocked[:n] > 0.5

@@ -176,7 +176,7 @@ jax.tree_util.register_pytree_node(
 
 
 def _chunk_hits(prim_block, k_base, ox, oy, oz, dx, dy, dz, ignore_f,
-                has_tri, has_sph):
+                has_tri, has_sph, unit_dir=True):
     """Intersect the ray block against one (1, BP)-blocked prim chunk.
     Returns (t, u, v, pid) as (BP, BR) — prims on sublanes, rays on lanes —
     with t = INF where invalid. Prim rows transpose (1, BP) -> (BP, 1)
@@ -231,10 +231,20 @@ def _chunk_hits(prim_block, k_base, ox, oy, oz, dx, dy, dz, ignore_f,
         fz = oz - az
         bq = fx * dx + fy * dy + fz * dz
         cq = fx * fx + fy * fy + fz * fz - bx * bx
-        disc = bq * bq - cq
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t_near = -bq - sq
-        t_far = -bq + sq
+        if unit_dir:
+            disc = bq * bq - cq
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t_near = -bq - sq
+            t_far = -bq + sq
+        else:
+            # instanced rays carry |d| = 1/scale, so the full quadratic
+            # a t^2 + 2 b t + c is needed (t stays the WORLD parameter)
+            aq = dx * dx + dy * dy + dz * dz
+            disc = bq * bq - aq * cq
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            inv_a = 1.0 / aq
+            t_near = (-bq - sq) * inv_a
+            t_far = (-bq + sq) * inv_a
         # ignored spheres contribute only their far root (findFar)
         t_sph = jnp.where(ignored, t_far, jnp.where(t_near > _EPS, t_near, t_far))
         sph_ok = (disc >= 0.0) & (t_sph > _EPS)
