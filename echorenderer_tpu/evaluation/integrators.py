@@ -84,19 +84,23 @@ def path_step(
     """
     # --- trace the pending ray (advance) ---
     seg_t = jnp.where(live, INF, 0.0)
-    hit = scene_ops.trace(scene, st["o"], st["d"], seg_t, st["ignore"])
+    hit = scene_ops.trace(
+        scene, st["o"], st["d"], seg_t, st["ignore"], st.get("ignore_inst")
+    )
+    hit_inst = hit.inst_or_zero
     found = live & hit.found
     contact = scene_ops.interact(scene, hit, st["o"], st["d"])
 
     # --- emission at the hit, MIS-weighted against NEE ---
     emitted = scene_ops.emission_at(scene, contact, -st["d"])
     if enable_fwd_mis and enable_nee:
-        hit_light = vec.small_table_lookup(
-            scene.lights.prim_light, jnp.maximum(hit.prim, 0)
+        hit_light = scene_ops.hit_light_record(
+            scene, jnp.maximum(hit.prim, 0), hit_inst
         )
         light_pm = scene_ops.light_pmf(scene, hit_light, st["prev_point"])
         fwd_pdf = light_pm * scene_ops.area_light_pdf(
-            scene, hit.prim, st["prev_point"], contact.point, contact.geo_normal, st["d"]
+            scene, hit.prim, st["prev_point"], contact.point,
+            contact.geo_normal, st["d"], inst=hit_inst,
         )
         em_w = jnp.where(
             st["prev_specular"], 1.0, _power_heuristic(st["prev_pdf"], fwd_pdf)
@@ -157,7 +161,8 @@ def path_step(
         shadow_t = jnp.where(ls.travel >= INF, INF, ls.travel * (1.0 - 1e-3))
         shadow_t = jnp.where(candidate, shadow_t, 0.0)
         blocked = scene_ops.occlude(
-            scene, shadow_o, ls.incident, shadow_t, jnp.maximum(hit.prim, 0)
+            scene, shadow_o, ls.incident, shadow_t, jnp.maximum(hit.prim, 0),
+            ignore_inst=hit_inst,
         )
         visible = candidate & ~blocked
         scatter_pdf_l = bsdf_mod.pdf(contact.material, wo_local, wi_l)
@@ -186,6 +191,7 @@ def path_step(
         bs_specular=bs.specular,
         contact_point=contact.point,
         hit_prim=jnp.maximum(hit.prim, 0),
+        hit_inst=hit_inst,
         aux=dict(
             found=found,
             candidate=candidate,
@@ -219,6 +225,7 @@ def path_trace(
         prev_specular=jnp.ones((n,), bool),  # camera rays count as specular
         prev_point=origin,
         ignore=jnp.full((n,), -1, jnp.int32),
+        ignore_inst=jnp.zeros((n,), jnp.int32),
     )
     live = jnp.ones((n,), bool)
 
@@ -241,6 +248,7 @@ def path_trace(
             prev_specular=out["bs_specular"],
             prev_point=out["contact_point"],
             ignore=out["hit_prim"],
+            ignore_inst=out["hit_inst"],
         )
         return live & out["continues"], new_st
 
@@ -264,10 +272,11 @@ def naive_trace(
     o, d = origin, direction
     active = jnp.ones((n,), bool)
     ignore = jnp.full((n,), -1, jnp.int32)
+    ignore_inst = jnp.zeros((n,), jnp.int32)
 
     for depth in range(bounce_limit + 1):
         seg_t = jnp.where(active, INF, 0.0)
-        hit = scene_ops.trace(scene, o, d, seg_t, ignore)
+        hit = scene_ops.trace(scene, o, d, seg_t, ignore, ignore_inst)
         found = active & hit.found
         escaped = active & ~hit.found
         radiance += jnp.where(
@@ -295,6 +304,7 @@ def naive_trace(
         o = _offset_origin(contact.point, contact.geo_normal, wi_world)
         d = jnp.where(active[..., None], wi_world, d)
         ignore = jnp.maximum(hit.prim, 0)
+        ignore_inst = hit.inst_or_zero
 
     return radiance
 

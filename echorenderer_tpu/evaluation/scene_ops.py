@@ -50,7 +50,16 @@ def _use_pallas(scene) -> bool:
     )
 
 
-def trace(scene: PreparedScene, o, d, t_max, ignore) -> Hit:
+def trace(scene: PreparedScene, o, d, t_max, ignore, ignore_inst=None) -> Hit:
+    if scene.instances is not None:
+        # TLAS scenes MUST go through the instanced hierarchical kernel —
+        # pack geometry is stored in local space, so every other
+        # accelerator would intersect the wrong coordinates
+        from ..ops.pallas_hier import intersect_hier
+
+        return intersect_hier(
+            scene.geometry, scene.hier_soa, o, d, t_max, ignore, ignore_inst
+        )
     if scene.geometry.num_primitives < LINEAR_THRESHOLD:
         return intersect_linear(scene.geometry, o, d, t_max, ignore)
     if _use_hier(scene):
@@ -64,7 +73,13 @@ def trace(scene: PreparedScene, o, d, t_max, ignore) -> Hit:
     return intersect_bvh(scene.geometry, scene.bvh, o, d, t_max, ignore)
 
 
-def occlude(scene: PreparedScene, o, d, t_max, ignore) -> jax.Array:
+def occlude(scene: PreparedScene, o, d, t_max, ignore, ignore_inst=None) -> jax.Array:
+    if scene.instances is not None:
+        from ..ops.pallas_hier import occlude_hier
+
+        return occlude_hier(
+            scene.geometry, scene.hier_soa, o, d, t_max, ignore, ignore_inst
+        )
     if scene.geometry.num_primitives < LINEAR_THRESHOLD:
         return occlude_linear(scene.geometry, o, d, t_max, ignore)
     if _use_hier(scene):
@@ -114,7 +129,11 @@ def interact(scene: PreparedScene, hit: Hit, o, d) -> Contact:
     """Build the shading contact for each lane's hit (masked by hit.found;
     lanes without hits get clamped garbage that callers must mask).
     One packed row gather per prim + one per material (the TPU analogue of
-    the reference's contiguous PreparedTriangle reads)."""
+    the reference's contiguous PreparedTriangle reads). For TLAS scenes
+    the shading rows are pack-local: one extra instance-row gather rotates
+    normals into world space, transforms sphere centers/radii, and remaps
+    the material id through the instance's swatch
+    (reference PreparedInstance.cs:47-61)."""
     prim = jnp.maximum(hit.prim, 0)
     # one-hot matmul lookups: small-table row gathers run at ~1-2 GiB/s on
     # TPU while the MXU does the same lookup ~3x faster and exactly
@@ -123,25 +142,55 @@ def interact(scene: PreparedScene, hit: Hit, o, d) -> Contact:
 
     point = o + d * hit.t[..., None]
 
+    it = scene.instances
+    if it is not None:
+        inst = jnp.clip(hit.inst_or_zero, 0, it.num_instances - 1)
+        irow = vec.small_table_lookup(it.rows, inst)  # (N, 16)
+
+        def rot_w(vx):  # world = R @ local, rows of R at irow[0:9]
+            return jnp.stack(
+                [
+                    irow[..., 0] * vx[..., 0] + irow[..., 1] * vx[..., 1] + irow[..., 2] * vx[..., 2],
+                    irow[..., 3] * vx[..., 0] + irow[..., 4] * vx[..., 1] + irow[..., 5] * vx[..., 2],
+                    irow[..., 6] * vx[..., 0] + irow[..., 7] * vx[..., 1] + irow[..., 8] * vx[..., 2],
+                ],
+                axis=-1,
+            )
+
+        inst_t = irow[..., 9:12]
+        inst_s = irow[..., 12:13]
+    else:
+        rot_w = lambda vx: vx
+        inst_t = 0.0
+        inst_s = 1.0
+
     u, v = hit.uv[..., 0], hit.uv[..., 1]
     w = 1.0 - u - v
-    tri_geo = row[..., 0:3]
+    tri_geo = rot_w(row[..., 0:3])
     tri_shade = vec.normalize(
-        w[..., None] * row[..., 3:6] + u[..., None] * row[..., 6:9] + v[..., None] * row[..., 9:12]
+        rot_w(
+            w[..., None] * row[..., 3:6]
+            + u[..., None] * row[..., 6:9]
+            + v[..., None] * row[..., 9:12]
+        )
     )
     tri_uv = (
         w[..., None] * row[..., 12:14]
         + u[..., None] * row[..., 14:16]
         + v[..., None] * row[..., 16:18]
     )
-    sph_geo = vec.normalize(point - row[..., 0:3])
+    sph_center = rot_w(row[..., 0:3]) * inst_s + inst_t
+    sph_radius = row[..., 3] * (inst_s[..., 0] if it is not None else 1.0)
+    sph_geo = vec.normalize(point - sph_center)
     geo_n = jnp.where(is_sph[..., None], sph_geo, tri_geo)
     shade_n = jnp.where(is_sph[..., None], sph_geo, tri_shade)
     from ..ops.intersect import sphere_uv
 
-    sph_uv = sphere_uv(point - row[..., 0:3], row[..., 3])
+    sph_uv = sphere_uv(point - sph_center, sph_radius)
     uv_out = jnp.where(is_sph[..., None], sph_uv, tri_uv)
     mat_id = row[..., 18].astype(jnp.int32)
+    if it is not None:
+        mat_id = it.mat_remap[inst * it.num_materials + mat_id]
 
     m = scene.materials
     mrow = vec.small_table_lookup(scene.mat_pack, mat_id)  # (N, 16)
@@ -162,6 +211,18 @@ def interact(scene: PreparedScene, hit: Hit, o, d) -> Contact:
             + shade_n * jnp.maximum(tn[..., 2:3], 0.1)
         )
         shade_n = jnp.where((ntid >= 0)[..., None], perturbed, shade_n)
+    params = mrow[..., 3:7]
+    if scene.tex_atlas.shape[0]:
+        # texture-valued roughness (reference materials take Texture-typed
+        # .Roughness, e.g. bunny.echo's Conductor): one more atlas sample
+        # overrides the packed scalar per contact
+        rtid = mrow[..., 15].astype(jnp.int32)
+        rough_rgb = _sample_atlas(scene.tex_atlas, jnp.maximum(rtid, 0), uv_out)
+        rough = jnp.mean(rough_rgb, axis=-1)
+        params = jnp.concatenate(
+            [jnp.where(rtid >= 0, rough, params[..., 0])[..., None], params[..., 1:]],
+            axis=-1,
+        )
     mat_type = mrow[..., 10].astype(jnp.int32)
     if 0 in (m.present or ()):  # INVISIBLE present => OneSided wrappers exist
         # OneSided: invisible from the back face (reference OneSided.cs) —
@@ -174,7 +235,7 @@ def interact(scene: PreparedScene, hit: Hit, o, d) -> Contact:
     material = GatheredMaterial(
         type=mat_type,
         albedo=albedo,
-        params=mrow[..., 3:7],
+        params=params,
         extra=mrow[..., 7:10],
         present=m.present if m.present else GatheredMaterial._field_defaults["present"],
     )
@@ -226,6 +287,7 @@ class LightSample(NamedTuple):
     travel: jax.Array  # (N,) distance to the light (INF for infinite)
     pdf: jax.Array  # (N,) solid-angle pdf (1 for delta lights)
     target_prim: jax.Array  # (N,) prim to ignore in the shadow ray (-1)
+    target_inst: jax.Array  # (N,) instance of target_prim (0 unless TLAS)
     use_mis: jax.Array  # (N,) bool — non-delta light, MIS applies
 
 
@@ -342,6 +404,7 @@ def sample_light(scene: PreparedScene, record, x, u2) -> LightSample:
     if lt.emissive_prim.shape[0]:
         ei = jnp.clip(index, 0, lt.emissive_prim.shape[0] - 1)
         prim = vec.small_table_lookup(lt.emissive_prim, ei)
+        target_inst_e = vec.small_table_lookup(lt.emissive_inst, ei)
         erow = vec.small_table_lookup(scene.emissive_pack, ei)  # (N, 20)
         is_sph_e = erow[..., 16] > 0.5
 
@@ -373,6 +436,7 @@ def sample_light(scene: PreparedScene, record, x, u2) -> LightSample:
         rad_e = jnp.zeros_like(x)
         pdf_e = jnp.ones(n)
         target_e = jnp.full(n, -1, jnp.int32)
+        target_inst_e = jnp.zeros(n, jnp.int32)
 
     def sel(point_v, dir_v, amb_v, emi_v):
         out = jnp.where(_exp(kind == LIGHT_POINT, point_v), point_v, 0.0)
@@ -386,6 +450,7 @@ def sample_light(scene: PreparedScene, record, x, u2) -> LightSample:
     travel = sel(dist_p, jnp.full(n, INF), jnp.full(n, INF), dist_e)
     pdf = sel(jnp.ones(n), jnp.ones(n), amb_pdf, pdf_e)
     target = jnp.where(kind == LIGHT_EMISSIVE_TRI, target_e, -1)
+    target_inst = jnp.where(kind == LIGHT_EMISSIVE_TRI, target_inst_e, 0)
     use_mis = (kind == LIGHT_AMBIENT) | (kind == LIGHT_EMISSIVE_TRI)
     return LightSample(
         radiant=radiant,
@@ -393,19 +458,43 @@ def sample_light(scene: PreparedScene, record, x, u2) -> LightSample:
         travel=travel,
         pdf=pdf,
         target_prim=target,
+        target_inst=target_inst,
         use_mis=use_mis,
     )
 
 
-def area_light_pdf(scene: PreparedScene, prim, origin, point, geo_normal, direction):
+def area_light_pdf(scene: PreparedScene, prim, origin, point, geo_normal,
+                   direction, inst=None):
     """Solid-angle pdf of NEE having sampled `direction` toward the emissive
-    `prim` hit at `point` (reference PreparedScene.ProbabilityDensity)."""
+    `prim` hit at `point` (reference PreparedScene.ProbabilityDensity).
+    Instanced prims store LOCAL area; world area = local * scale^2."""
     prim_c = jnp.maximum(prim, 0)
     area = vec.small_table_lookup(scene.shade_pack[:, 19], prim_c)  # per-prim area
+    it = scene.instances
+    if it is not None and inst is not None:
+        inst_c = jnp.clip(inst, 0, it.num_instances - 1)
+        area = area * it.rows[inst_c, 13]  # scale^2
     delta = point - origin
     dist2 = jnp.maximum(vec.length_squared(delta), 1e-12)
     cos_l = jnp.abs(vec.dot(geo_normal, direction))
     return dist2 / jnp.maximum(cos_l * area, 1e-12)
+
+
+def hit_light_record(scene: PreparedScene, prim, inst, x=None) -> jax.Array:
+    """Light record id of the emissive (prim, inst) pair, or -1 — the
+    forward-MIS analogue of the reference's token -> light lookup. For
+    baked scenes this is the prim_light gather; TLAS scenes resolve via
+    the instance's emissive base + the profile's per-prim ordinal."""
+    it = scene.instances
+    prim_c = jnp.maximum(prim, 0)
+    if it is None:
+        return vec.small_table_lookup(scene.lights.prim_light, prim_c)
+    inst_c = jnp.clip(inst if inst is not None else 0, 0, it.num_instances - 1)
+    irow = vec.small_table_lookup(it.rows, inst_c)
+    emi_base = irow[..., 14].astype(jnp.int32)
+    profile = irow[..., 15].astype(jnp.int32)
+    ordv = it.emi_ordinal[profile * it.num_storage + prim_c]
+    return jnp.where((ordv >= 0) & (emi_base >= 0), emi_base + ordv, -1)
 
 
 def _exp(mask, like):

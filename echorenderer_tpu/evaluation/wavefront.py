@@ -101,6 +101,7 @@ def sample_frame_wavefront(
         prev_specular=jnp.ones((n,), bool),  # camera rays count as specular
         prev_point=o0,
         ignore=jnp.full((n,), -1, jnp.int32),
+        ignore_inst=jnp.zeros((n,), jnp.int32),
         iters=jnp.zeros((), jnp.int32),
         # named event counters, summed across lanes (see `stats` below)
         counters=jnp.zeros((6,), jnp.float32),
@@ -152,6 +153,7 @@ def sample_frame_wavefront(
             prev_specular=jnp.where(respawn, True, out["bs_specular"]),
             prev_point=sel(respawn, cam_o, out["contact_point"]),
             ignore=jnp.where(respawn, -1, out["hit_prim"]),
+            ignore_inst=jnp.where(respawn, 0, out["hit_inst"]),
             iters=st["iters"] + 1,
             counters=st["counters"]
             + jnp.stack(

@@ -136,7 +136,15 @@ def _material_builder(cls):
             if name == "Albedo":
                 mat.albedo = value if hasattr(value, "sample_uv") else tuple(_rgb(value))
             elif name == "Roughness":
-                mat.roughness = _scalar(value)
+                # texture-valued roughness passes through (sampled per
+                # contact via the atlas, see scene_ops.interact); Pure and
+                # literals collapse to the scalar
+                from ..textures.grids import Pure
+
+                if hasattr(value, "sample_uv") and not isinstance(value, Pure):
+                    mat.roughness = value
+                else:
+                    mat.roughness = _scalar(value)
             elif name == "RefractiveIndex":
                 # conductor physical mode gets per-channel eta via albedo
                 from ..scene.materials import Conductor
@@ -366,9 +374,9 @@ def _build_standard_profile(source, args, props, calls):
         watermark=watermark and not only_denoise,
     )
     if only_denoise:
-        from ..processes.composition import BilateralDenoise
+        from ..processes.composition import LearnedDenoise
 
-        prof.composition = (BilateralDenoise(),)
+        prof.composition = (LearnedDenoise(),)
     if noise_threshold is not None:
         for ep in prof.evaluations:
             if ep.evaluator == "path":
@@ -455,8 +463,9 @@ def _make_registry():
         "ToneMapper": _composition_builder(comp.ToneMapper),
         "Vignette": _composition_builder(comp.Vignette),
         "Watermark": _composition_builder(comp.Watermark),
-        "OidnDenoise": _composition_builder(comp.BilateralDenoise),
+        "OidnDenoise": _composition_builder(comp.LearnedDenoise),
         "BilateralDenoise": _composition_builder(comp.BilateralDenoise),
+        "LearnedDenoise": _composition_builder(comp.LearnedDenoise),
     }
 
 

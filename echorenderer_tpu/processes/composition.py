@@ -308,6 +308,38 @@ class BilateralDenoise:
         return layers
 
 
+@dataclasses.dataclass
+class LearnedDenoise:
+    """Kernel-predicting CNN denoiser in the reference's OIDN slot
+    (OidnDenoise.cs:17-230; weights committed, trained on this renderer's
+    own renders — see processes/denoise.py and tools/train_denoiser.py).
+    Same layer contract as BilateralDenoise: color + albedo + normal_depth
+    in, color out. Falls back to the cross-bilateral filter when the AOVs
+    or the committed weights are missing."""
+
+    layer: str = "main"
+    albedo_layer: str = "albedo"
+    normal_layer: str = "normal_depth"
+
+    def apply(self, layers):
+        from . import denoise as dn
+
+        img = layers[self.layer]
+        albedo = layers.get(self.albedo_layer)
+        nd = layers.get(self.normal_layer)
+        params = dn.load_params()
+        if albedo is None or nd is None or params is None:
+            return BilateralDenoise(
+                layer=self.layer,
+                albedo_layer=self.albedo_layer,
+                normal_layer=self.normal_layer,
+            ).apply(layers)
+        layers[self.layer] = dn.apply(
+            params, img[None], albedo[None][..., :3], nd[None][..., :3]
+        )[0]
+        return layers
+
+
 # ----------------------------------------------------------------------------
 # stack execution
 # ----------------------------------------------------------------------------

@@ -84,7 +84,7 @@ def standard_path_traced_profile(
     sample counts and adaptive epoch budget."""
     from .composition import (
         AutoExposure,
-        BilateralDenoise,
+        LearnedDenoise,
         Bloom,
         ToneMapper,
         Vignette,
@@ -107,7 +107,7 @@ def standard_path_traced_profile(
     )
     stack = []
     if denoise:
-        stack.append(BilateralDenoise())
+        stack.append(LearnedDenoise())
     stack += [AutoExposure(), Bloom(), ToneMapper(curve="aces"), Vignette()]
     if watermark:
         stack.append(Watermark())

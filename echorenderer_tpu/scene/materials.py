@@ -50,6 +50,21 @@ class Material:
     def albedo_texture(self):
         return self.albedo if hasattr(self.albedo, "sample_uv") else None
 
+    def roughness_texture(self):
+        r = getattr(self, "roughness", None)
+        return r if hasattr(r, "sample_uv") else None
+
+    @staticmethod
+    def _rough_scalar(r) -> float:
+        """Constant roughness, or the texture's mean as the packed fallback
+        (the per-contact value comes from the atlas at interact time)."""
+        if hasattr(r, "sample_uv"):
+            if hasattr(r, "average"):
+                a = np.asarray(r.average(), np.float32).reshape(-1)
+                return float(a[:3].mean())
+            return 0.5
+        return float(r)
+
     # packed scalar parameters (roughness, ior, ...) — see prepare.py layout
     def params(self) -> np.ndarray:
         return np.zeros(4, np.float32)
@@ -76,8 +91,10 @@ class Diffuse(Material):
         self.transmissive = bool(transmissive)
 
     def params(self):
-        r = self.roughness if not hasattr(self.roughness, "sample_uv") else 0.5
-        return np.asarray([float(r), 1.0 if self.transmissive else 0.0, 0, 0], np.float32)
+        return np.asarray(
+            [self._rough_scalar(self.roughness), 1.0 if self.transmissive else 0.0, 0, 0],
+            np.float32,
+        )
 
 
 class Dielectric(Material):
@@ -88,11 +105,13 @@ class Dielectric(Material):
 
     def __init__(self, albedo=(1.0, 1.0, 1.0), roughness=0.0, refractive_index=1.5, **kw):
         super().__init__(albedo, **kw)
-        self.roughness = float(roughness)
+        self.roughness = roughness
         self.refractive_index = float(refractive_index)
 
     def params(self):
-        return np.asarray([self.roughness, self.refractive_index, 0, 0], np.float32)
+        return np.asarray(
+            [self._rough_scalar(self.roughness), self.refractive_index, 0, 0], np.float32
+        )
 
 
 class Conductor(Material):
@@ -104,11 +123,14 @@ class Conductor(Material):
     def __init__(self, albedo=(0.9, 0.9, 0.9), edge=(1.0, 1.0, 1.0), roughness=0.05, artistic=True, **kw):
         super().__init__(albedo, **kw)
         self.edge = edge
-        self.roughness = float(roughness)
+        self.roughness = roughness
         self.artistic = bool(artistic)
 
     def params(self):
-        return np.asarray([self.roughness, 1.0 if self.artistic else 0.0, 0, 0], np.float32)
+        return np.asarray(
+            [self._rough_scalar(self.roughness), 1.0 if self.artistic else 0.0, 0, 0],
+            np.float32,
+        )
 
     def extra_color(self):
         return _rgb(self.edge)
@@ -141,8 +163,9 @@ class CoatedDiffuse(Diffuse):
         self.refractive_index = float(refractive_index)
 
     def params(self):
-        r = self.roughness if not hasattr(self.roughness, "sample_uv") else 0.5
-        return np.asarray([float(r), self.refractive_index, 0, 0], np.float32)
+        return np.asarray(
+            [self._rough_scalar(self.roughness), self.refractive_index, 0, 0], np.float32
+        )
 
 
 class OneSided(Material):

@@ -90,6 +90,7 @@ class LightTable(NamedTuple):
     dir_dir: jax.Array  # (Ld, 3) direction the light travels (from light)
     dir_intensity: jax.Array  # (Ld, 3)
     emissive_prim: jax.Array  # (Le,) int32 original prim ids
+    emissive_inst: jax.Array  # (Le,) int32 owning instance (0 unless TLAS)
     emissive_light: jax.Array  # (Le,) int32 back-map to light record index
     prim_light: jax.Array  # (P,) int32 prim -> light record or -1
     ambient_all: jax.Array  # (3,) constant env radiance (indirect rays)
@@ -134,6 +135,11 @@ class PreparedScene(NamedTuple):
     # hierarchical kernel tables (ops/pallas_hier.HierSoA) for scenes with
     # >= HIER_BUILD_MIN padded prims; None below that
     hier_soa: object = None
+    # TLAS instancing tables (scene/instancing.InstanceTable) when the scene
+    # contains shared packs; None for fully baked scenes. When set, geometry
+    # and shade_pack rows for instanced prims are in pack-LOCAL space and
+    # all tracing goes through the instanced hierarchical kernel.
+    instances: object = None
 
 
 # resolution each albedo texture is resampled to in the device atlas; a
@@ -165,24 +171,190 @@ def _resample_texture(tex, res: int = ATLAS_RES) -> np.ndarray:
     return top * (1 - fv) + bot * fv
 
 
-def _iter_world(entity: Entity, parent, swatch):
+def _iter_world(entity: Entity, parent, swatch, stop_shared=None, inst_specs=None):
+    """Depth-first walk yielding (entity, world_matrix, swatch). When
+    `stop_shared` (a set of pack ids) is given, PackInstances of those packs
+    are NOT descended into — an instance spec (pack, world, merged swatch)
+    is appended to `inst_specs` instead (the TLAS path)."""
     world = parent @ entity.transform.matrix()
     yield entity, world, swatch
     if isinstance(entity, PackInstance):
         merged = {**swatch, **{id(k): v for k, v in entity.material_swatch.items()}}
-        for child in entity.pack.children:
-            yield from _iter_world(child, world, merged)
+        if stop_shared is not None and id(entity.pack) in stop_shared:
+            inst_specs.append((entity.pack, world, merged))
+        else:
+            for child in entity.pack.children:
+                yield from _iter_world(child, world, merged, stop_shared, inst_specs)
     for child in entity.children:
-        yield from _iter_world(child, world, swatch)
+        yield from _iter_world(child, world, swatch, stop_shared, inst_specs)
 
 
-def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene:
-    tri_v, tri_f, tri_n, tri_uv, tri_m = [], [], [], [], []
-    sph_c, sph_r, sph_m = [], [], []
+class Collector:
+    """Accumulates flattened entities from one walk (the root scene in
+    world space, or one shared pack in local space)."""
+
+    def __init__(self):
+        self.tri_v, self.tri_f, self.tri_n, self.tri_uv, self.tri_m = [], [], [], [], []
+        self.sph_c, self.sph_r, self.sph_m = [], [], []
+        self.cameras: list[tuple[Camera, np.ndarray]] = []
+        self.point_lights, self.dir_lights, self.ambient_lights = [], [], []
+        self.mat_pairs: list[tuple[object, int]] = []  # (entity mat obj, gid)
+
+    def add(self, entity, world, swatch, intern):
+        if isinstance(entity, GeometryEntity):
+            mat = swatch.get(id(entity.material), entity.material)
+            mid = intern(mat)
+            # (object, gid, internally-swatched): an instance-level swatch
+            # may later remap gid unless an inner swatch already claimed it
+            self.mat_pairs.append((entity.material, mid, id(entity.material) in swatch))
+            tris = entity.extract_triangles(world)
+            if tris is not None and len(tris["faces"]):
+                base = sum(len(v) for v in self.tri_v)
+                self.tri_v.append(np.asarray(tris["vertices"], np.float32))
+                self.tri_f.append(np.asarray(tris["faces"], np.int32) + base)
+                n = tris.get("normals")
+                u = tris.get("uvs")
+                self.tri_n.append(None if n is None else np.asarray(n, np.float32))
+                self.tri_uv.append(None if u is None else np.asarray(u, np.float32))
+                if tris.get("face_materials") is not None:
+                    # per-face materials (multi-material OBJ): intern each,
+                    # -1 entries fall back to the entity material
+                    fm = np.asarray(tris["face_materials"], np.int32)
+                    sub = []
+                    for m in tris["materials"]:
+                        g = intern(swatch.get(id(m), m))
+                        sub.append(g)
+                        self.mat_pairs.append((m, g, id(m) in swatch))
+                    table = np.asarray(sub + [mid], np.int32)
+                    self.tri_m.append(table[np.where(fm >= 0, fm, len(sub))])
+                else:
+                    self.tri_m.append(np.full(len(tris["faces"]), mid, np.int32))
+            sph = entity.extract_sphere(world)
+            if sph is not None:
+                self.sph_c.append(np.asarray(sph[0], np.float32))
+                self.sph_r.append(np.float32(sph[1]))
+                self.sph_m.append(np.int32(mid))
+        elif isinstance(entity, Camera):
+            self.cameras.append((entity, world))
+        elif isinstance(entity, PointLight):
+            self.point_lights.append(
+                (world[:3, 3].astype(np.float32), entity.intensity, entity.power)
+            )
+        elif isinstance(entity, DirectionalLight):
+            d = world[:3, :3] @ np.asarray([0.0, 0.0, 1.0])
+            d = (d / np.linalg.norm(d)).astype(np.float32)
+            self.dir_lights.append((d, entity.intensity, entity))
+        elif isinstance(entity, AmbientLight):
+            rot = world[:3, :3] / max(np.linalg.norm(world[:3, 0]), 1e-20)
+            self.ambient_lights.append((entity, rot.astype(np.float32)))
+
+
+def build_material_arrays(materials):
+    """Interned material list -> packed parameter arrays + texture atlas
+    (dedupe albedo + normal-map textures, resample each to ATLAS_RES;
+    normal maps share the atlas, ids disambiguate)."""
+    mtypes = np.asarray([m.type_id for m, _ in materials], np.int32)
+    malbedo = np.stack([m.constant_albedo() for m, _ in materials], 0)
+    mparams = np.stack([m.params() for m, _ in materials], 0)
+    mextra = np.stack([m.extra_color() for m, _ in materials], 0)
+    mone = np.asarray([os for _, os in materials], np.int32)
+
+    mtex = np.full(len(materials), -1, np.int32)
+    mntex = np.full(len(materials), -1, np.int32)
+    mnint = np.zeros(len(materials), np.float32)
+    mrtex = np.full(len(materials), -1, np.int32)
+    atlas_slices: list[np.ndarray] = []
+    tex_ids: dict[int, int] = {}
+
+    def intern_tex(tex) -> int:
+        key = id(tex)
+        if key not in tex_ids:
+            tex_ids[key] = len(atlas_slices)
+            atlas_slices.append(_resample_texture(tex))
+        return tex_ids[key]
+
+    for mi, (m, _) in enumerate(materials):
+        tex = m.albedo_texture() if hasattr(m, "albedo_texture") else None
+        if tex is not None:
+            mtex[mi] = intern_tex(tex)
+        ntex = getattr(m, "normal", None)
+        if ntex is not None and hasattr(ntex, "data"):
+            mntex[mi] = intern_tex(ntex)
+            mnint[mi] = float(getattr(m, "normal_intensity", 1.0))
+        rtex = m.roughness_texture() if hasattr(m, "roughness_texture") else None
+        if rtex is not None:
+            mrtex[mi] = intern_tex(rtex)
+    tex_atlas = (
+        np.stack(atlas_slices, 0)
+        if atlas_slices
+        else np.zeros((0, 1, 1, 4), np.float32)
+    )
+    return mtypes, malbedo, mparams, mextra, mone, mtex, mntex, mnint, mrtex, tex_atlas
+
+
+def assemble_triangles(tri_v, tri_f, tri_n, tri_uv, tri_m):
+    """Indexed triangle lists -> flat per-face arrays
+    (v0, e1, e2, n0, n1, n2, uv0, uv1, uv2, tmat)."""
+    verts = np.concatenate(tri_v, 0)
+    faces = np.concatenate(tri_f, 0)
+    # per-vertex normals/uvs with per-chunk fallbacks
+    norms = []
+    uvs = []
+    for v, n, u in zip(tri_v, tri_n, tri_uv):
+        norms.append(np.zeros((len(v), 3), np.float32) if n is None else n)
+        uvs.append(np.zeros((len(v), 2), np.float32) if u is None else u)
+    vn = np.concatenate(norms, 0)
+    vuv = np.concatenate(uvs, 0)
+    v0 = verts[faces[:, 0]]
+    v1 = verts[faces[:, 1]]
+    v2 = verts[faces[:, 2]]
+    e1, e2 = v1 - v0, v2 - v0
+    gn = np.cross(e1, e2)
+    gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+    n0, n1, n2 = vn[faces[:, 0]], vn[faces[:, 1]], vn[faces[:, 2]]
+    # faces without shading normals fall back to the geometric normal
+    for arr in (n0, n1, n2):
+        missing = np.linalg.norm(arr, axis=-1) < 1e-6
+        arr[missing] = gn[missing]
+    uv0, uv1, uv2 = vuv[faces[:, 0]], vuv[faces[:, 1]], vuv[faces[:, 2]]
+    tmat = np.concatenate(tri_m, 0)
+    return v0, e1, e2, n0, n1, n2, uv0, uv1, uv2, tmat
+
+
+def _shared_packs(scene: Scene, instancing: str) -> set[int]:
+    """ids of EntityPacks that get a shared BLAS + per-instance transforms
+    instead of baking: every pack referenced by >= 2 PackInstances in
+    "auto" mode, every instanced pack in "tlas" mode, none in "bake"."""
+    if instancing == "bake":
+        return set()
+    counts: dict[int, int] = {}
+
+    def walk(entity):
+        if isinstance(entity, PackInstance):
+            counts[id(entity.pack)] = counts.get(id(entity.pack), 0) + 1
+            for child in entity.pack.children:
+                walk(child)
+        for child in entity.children:
+            walk(child)
+
+    walk(scene)
+    need = 1 if instancing == "tlas" else 2
+    return {pid for pid, c in counts.items() if c >= need}
+
+
+def prepare_scene(
+    scene: Scene,
+    camera_name: str | None = None,
+    instancing: str = "auto",
+) -> PreparedScene:
+    shared = _shared_packs(scene, instancing)
+    if shared:
+        from .instancing import prepare_scene_instanced
+
+        return prepare_scene_instanced(scene, camera_name, shared)
+
     materials: list = []
     mat_index: dict[int, int] = {}
-    cameras: list[tuple[Camera, np.ndarray]] = []
-    point_lights, dir_lights, ambient_lights = [], [], []
 
     def intern(mat) -> int:
         one_sided = 0
@@ -194,72 +366,21 @@ def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene
             materials.append((mat, one_sided))
         return mat_index[key]
 
+    col = Collector()
     for entity, world, swatch in _iter_world(scene, np.eye(4), {}):
-        if isinstance(entity, GeometryEntity):
-            mat = swatch.get(id(entity.material), entity.material)
-            mid = intern(mat)
-            tris = entity.extract_triangles(world)
-            if tris is not None and len(tris["faces"]):
-                base = sum(len(v) for v in tri_v)
-                tri_v.append(np.asarray(tris["vertices"], np.float32))
-                tri_f.append(np.asarray(tris["faces"], np.int32) + base)
-                n = tris.get("normals")
-                u = tris.get("uvs")
-                tri_n.append(None if n is None else np.asarray(n, np.float32))
-                tri_uv.append(None if u is None else np.asarray(u, np.float32))
-                if tris.get("face_materials") is not None:
-                    # per-face materials (multi-material OBJ): intern each,
-                    # -1 entries fall back to the entity material
-                    fm = np.asarray(tris["face_materials"], np.int32)
-                    sub = [
-                        intern(swatch.get(id(m), m)) for m in tris["materials"]
-                    ]
-                    table = np.asarray(sub + [mid], np.int32)
-                    tri_m.append(table[np.where(fm >= 0, fm, len(sub))])
-                else:
-                    tri_m.append(np.full(len(tris["faces"]), mid, np.int32))
-            sph = entity.extract_sphere(world)
-            if sph is not None:
-                sph_c.append(np.asarray(sph[0], np.float32))
-                sph_r.append(np.float32(sph[1]))
-                sph_m.append(np.int32(mid))
-        elif isinstance(entity, Camera):
-            cameras.append((entity, world))
-        elif isinstance(entity, PointLight):
-            point_lights.append((world[:3, 3].astype(np.float32), entity.intensity, entity.power))
-        elif isinstance(entity, DirectionalLight):
-            d = world[:3, :3] @ np.asarray([0.0, 0.0, 1.0])
-            d = (d / np.linalg.norm(d)).astype(np.float32)
-            dir_lights.append((d, entity.intensity, entity))
-        elif isinstance(entity, AmbientLight):
-            rot = world[:3, :3] / max(np.linalg.norm(world[:3, 0]), 1e-20)
-            ambient_lights.append((entity, rot.astype(np.float32)))
+        col.add(entity, world, swatch, intern)
+    tri_v, tri_f, tri_n, tri_uv, tri_m = col.tri_v, col.tri_f, col.tri_n, col.tri_uv, col.tri_m
+    sph_c, sph_r, sph_m = col.sph_c, col.sph_r, col.sph_m
+    cameras = col.cameras
+    point_lights, dir_lights, ambient_lights = (
+        col.point_lights, col.dir_lights, col.ambient_lights
+    )
 
     # --- assemble flat geometry ---
     if tri_v:
-        verts = np.concatenate(tri_v, 0)
-        faces = np.concatenate(tri_f, 0)
-        # per-vertex normals/uvs with per-chunk fallbacks
-        norms = []
-        uvs = []
-        for v, n, u in zip(tri_v, tri_n, tri_uv):
-            norms.append(np.zeros((len(v), 3), np.float32) if n is None else n)
-            uvs.append(np.zeros((len(v), 2), np.float32) if u is None else u)
-        vn = np.concatenate(norms, 0)
-        vuv = np.concatenate(uvs, 0)
-        v0 = verts[faces[:, 0]]
-        v1 = verts[faces[:, 1]]
-        v2 = verts[faces[:, 2]]
-        e1, e2 = v1 - v0, v2 - v0
-        gn = np.cross(e1, e2)
-        gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
-        n0, n1, n2 = vn[faces[:, 0]], vn[faces[:, 1]], vn[faces[:, 2]]
-        # faces without shading normals fall back to the geometric normal
-        for arr in (n0, n1, n2):
-            missing = np.linalg.norm(arr, axis=-1) < 1e-6
-            arr[missing] = gn[missing]
-        uv0, uv1, uv2 = vuv[faces[:, 0]], vuv[faces[:, 1]], vuv[faces[:, 2]]
-        tmat = np.concatenate(tri_m, 0)
+        v0, e1, e2, n0, n1, n2, uv0, uv1, uv2, tmat = assemble_triangles(
+            tri_v, tri_f, tri_n, tri_uv, tri_m
+        )
     else:
         # degenerate far-away invisible triangle keeps shapes non-empty
         mid = intern(mat_mod.Invisible())
@@ -283,40 +404,8 @@ def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene
     num_prims = num_tris + geom_np["sph_center"].shape[0]
 
     # --- material table ---
-    mtypes = np.asarray([m.type_id for m, _ in materials], np.int32)
-    malbedo = np.stack([m.constant_albedo() for m, _ in materials], 0)
-    mparams = np.stack([m.params() for m, _ in materials], 0)
-    mextra = np.stack([m.extra_color() for m, _ in materials], 0)
-    mone = np.asarray([os for _, os in materials], np.int32)
-
-    # texture atlas: dedupe albedo + normal-map textures, resample each to
-    # ATLAS_RES (normal maps share the atlas; ids disambiguate)
-    mtex = np.full(len(materials), -1, np.int32)
-    mntex = np.full(len(materials), -1, np.int32)
-    mnint = np.zeros(len(materials), np.float32)
-    atlas_slices: list[np.ndarray] = []
-    tex_ids: dict[int, int] = {}
-
-    def intern_tex(tex) -> int:
-        key = id(tex)
-        if key not in tex_ids:
-            tex_ids[key] = len(atlas_slices)
-            atlas_slices.append(_resample_texture(tex))
-        return tex_ids[key]
-
-    for mi, (m, _) in enumerate(materials):
-        tex = m.albedo_texture() if hasattr(m, "albedo_texture") else None
-        if tex is not None:
-            mtex[mi] = intern_tex(tex)
-        ntex = getattr(m, "normal", None)
-        if ntex is not None and hasattr(ntex, "data"):
-            mntex[mi] = intern_tex(ntex)
-            mnint[mi] = float(getattr(m, "normal_intensity", 1.0))
-    tex_atlas = (
-        np.stack(atlas_slices, 0)
-        if atlas_slices
-        else np.zeros((0, 1, 1, 4), np.float32)
-    )
+    (mtypes, malbedo, mparams, mextra, mone, mtex, mntex, mnint, mrtex,
+     tex_atlas) = build_material_arrays(materials)
 
     # --- light census ---
     kinds, indices, powers = [], [], []
@@ -456,6 +545,7 @@ def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene
         emissive_prim=jnp.asarray(
             np.asarray([p for p, _ in emissive_prims], np.int32) if emissive_prims else np.zeros(0, np.int32)
         ),
+        emissive_inst=jnp.zeros(len(emissive_prims), jnp.int32),
         emissive_light=jnp.asarray(np.asarray(emissive_light, np.int32) if emissive_light else np.zeros(0, np.int32)),
         prim_light=jnp.asarray(prim_light),
         ambient_all=jnp.asarray(ambient_all),
@@ -535,6 +625,7 @@ def prepare_scene(scene: Scene, camera_name: str | None = None) -> PreparedScene
     mat_pack[:, 12] = mone
     mat_pack[:, 13] = mntex  # normal-map atlas id or -1
     mat_pack[:, 14] = mnint  # normal-map intensity
+    mat_pack[:, 15] = mrtex  # roughness-texture atlas id or -1
 
     epack = np.zeros((max(len(emissive_prims), 1), 20), np.float32)
     for i, (p, _) in enumerate(emissive_prims):
