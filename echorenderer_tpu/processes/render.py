@@ -297,15 +297,73 @@ def _adaptive_epochs(scene, profile, resolution, seed, acc, drawn, first_epoch,
     return acc, drawn, epochs_run, total_samples
 
 
+def _tiled_first_epoch(scene, profile, resolution, seed, acc, progress,
+                       n_batches, tile_size=32):
+    """Epoch 0 rendered as spiral-ordered tile batches, publishing a
+    partial image after each (the reference ViewerUI's live tile fill-in,
+    Areas/ViewerUI.EvaluationOperationMode.cs:19-50). Each pixel draws
+    sample ids [0, spe) of its own stream — bitwise identical to the
+    full-frame epoch, just scheduled tile-by-tile."""
+    from .tiles import lane_order, spiral, tile_grid
+
+    width, height = resolution
+    n = width * height
+    ntx, nty = tile_grid(resolution, tile_size)
+    order = np.asarray(spiral(ntx, nty))  # (T, 2) tile xy in schedule order
+    rank = np.empty(ntx * nty, np.int64)
+    rank[order[:, 1] * ntx + order[:, 0]] = np.arange(len(order))
+    ids_all = np.arange(n, dtype=np.int64)
+    tile_of = (ids_all // width // tile_size) * ntx + (ids_all % width) // tile_size
+    # lanes scheduled by spiral tile rank; tile-major within each tile
+    perm, _ = lane_order(resolution, tile_size)
+    sched = perm[np.argsort(rank[tile_of[perm]], kind="stable")]
+
+    spe = profile.samples_per_epoch
+    n_batches = max(1, min(n_batches, len(order)))
+    bucket = -(-n // n_batches)
+    for b in range(n_batches):
+        ids = sched[b * bucket : (b + 1) * bucket]
+        m = len(ids)
+        if m == 0:
+            break
+        ids = np.pad(ids, (0, bucket - m), constant_values=ids[0])
+        valid = (np.arange(bucket) < m).astype(np.float32)
+        ids_d = jnp.asarray(ids)
+        s_sum, s_sq = _sample_active_jit(
+            scene, ids_d, jnp.zeros((bucket,), jnp.uint32), tuple(resolution),
+            seed, spe, profile.bounce_limit, profile.survivability,
+        )
+        v = jnp.asarray(valid)[:, None]
+        full_sum = jnp.zeros((n, 3)).at[ids_d].add(s_sum * v)
+        full_sq = jnp.zeros((n, 3)).at[ids_d].add(s_sq * v)
+        k = jnp.zeros((n, 1)).at[ids_d].add(v * float(spe))
+        acc = acc_mod.add_many(acc, full_sum, full_sq, k)
+        if progress:
+            try:
+                progress(
+                    1, profile.max_epoch, float("inf"),
+                    layer=profile.layer_name, samples=spe * min((b + 1) * bucket, n),
+                    image=np.asarray(acc.mean).reshape(height, width, -1),
+                    tile_batch=(b + 1, n_batches),
+                )
+            except TypeError:
+                pass
+    return acc
+
+
 def render_layer(
     scene: PreparedScene,
     profile: EvaluationProfile,
     resolution,
     seed: int = 0,
     progress: Callable | None = None,
+    tile_progress: int = 0,
 ):
     """Run the adaptive epoch loop for one layer. Returns (image (H, W, C),
-    info dict with sample statistics)."""
+    info dict with sample statistics). `tile_progress=K` renders the first
+    epoch as K spiral-ordered tile batches, publishing partial frames via
+    `progress` (live-preview tile fill-in); per-pixel results are bitwise
+    unchanged."""
     width, height = resolution
     n = width * height
     channels = AOV_CHANNELS[profile.evaluator]
@@ -322,8 +380,17 @@ def render_layer(
     )
     full_epochs = profile.min_epoch if adaptive else profile.max_epoch
 
+    first_epoch = 0
     epoch = -1
-    for epoch in range(full_epochs):
+    if tile_progress and profile.evaluator == "path" and full_epochs > 0:
+        acc = _tiled_first_epoch(
+            scene, profile, resolution, seed, acc, progress, tile_progress
+        )
+        total_samples += profile.samples_per_epoch * n
+        first_epoch = 1
+        epoch = 0
+
+    for epoch in range(first_epoch, full_epochs):
         s_sum, s_sq = _sample_frame_jit(
             scene,
             profile.evaluator,
@@ -379,14 +446,18 @@ def render_layer(
     return image, info
 
 
-def render(scene: PreparedScene, profile: RenderProfile, progress=None):
+def render(scene: PreparedScene, profile: RenderProfile, progress=None,
+           tile_progress: int = 0):
     """Render all layers of a profile, then run the composition stack.
     Returns dict layer_name -> image, plus an info dict under '__info__'
     (reference ScheduledRender: evaluations then CompositionOperation)."""
     layers = {}
     infos = {}
     for ep in profile.evaluations:
-        img, info = render_layer(scene, ep, profile.resolution, profile.seed, progress)
+        img, info = render_layer(
+            scene, ep, profile.resolution, profile.seed, progress,
+            tile_progress=tile_progress,
+        )
         layers[ep.layer_name] = img
         infos[ep.layer_name] = info
     if profile.composition:

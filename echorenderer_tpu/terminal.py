@@ -46,6 +46,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--no-compose", action="store_true", help="skip the composition stack")
     ap.add_argument("--preview", type=int, nargs="?", const=8000, default=None,
                     help="serve a live preview dashboard on this port (GUI analogue)")
+    ap.add_argument("--watch", action="store_true",
+                    help="with -p: re-render whenever the .echo file changes "
+                         "(reference SchedulerUI save-to-reschedule)")
     return ap
 
 
@@ -98,7 +101,7 @@ class ConsoleMonitor:
         self.start = time.perf_counter()
         self.samples = 0
 
-    def __call__(self, epoch, max_epoch, noise, layer="main", samples=0):
+    def __call__(self, epoch, max_epoch, noise, layer="main", samples=0, **kw):
         elapsed = time.perf_counter() - self.start
         self.samples = samples or self.samples
         frac = epoch / max(max_epoch, 1)
@@ -116,20 +119,30 @@ class ConsoleMonitor:
         self.stream.flush()
 
 
-def main(argv=None) -> int:
-    args = build_argparser().parse_args(argv)
-    import jax
+def watch_file(path, on_change, stop=None, poll_s: float = 0.5):
+    """Re-run `on_change` whenever `path`'s mtime advances (the reference's
+    save-to-reschedule loop, Areas/SchedulerUI.cs:22-34). Blocks until
+    `stop` (a threading.Event) is set, or forever."""
+    import os
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    last = os.stat(path).st_mtime
+    while stop is None or not stop.is_set():
+        time.sleep(poll_s)
+        try:
+            mtime = os.stat(path).st_mtime
+        except OSError:
+            continue
+        if mtime != last:
+            last = mtime
+            on_change()
 
+
+def _render_once(args, prof, state, monitor):
+    """Prepare + render + save for one profile instance. Returns the info
+    dict (shared by the one-shot and --watch paths)."""
     from .io import images
     from .processes.render import render
     from .scene.prepare import prepare_scene
-
-    prof = load_profile(args)
-    if prof.scene is None:
-        raise SystemExit("no scene: pass -p file.echo or --scene builtin")
 
     t0 = time.perf_counter()
     print("preparing scene...", file=sys.stderr)
@@ -141,27 +154,22 @@ def main(argv=None) -> int:
         file=sys.stderr,
     )
 
-    monitor = ConsoleMonitor()
-    server = None
-    if args.preview is not None:
-        from .ui.preview import PreviewServer, PreviewState
-
-        state = PreviewState()
-        server = PreviewServer(state, host="0.0.0.0", port=args.preview).start()
-        print(f"live preview: http://localhost:{server.port}/", file=sys.stderr)
-
-        def progress(epoch, max_epoch, noise, layer="main", samples=0, image=None):
+    if state is not None:
+        def progress(epoch, max_epoch, noise, layer="main", samples=0, image=None, **kw):
             monitor(epoch, max_epoch, noise, layer=layer, samples=samples)
-            state.publish_status(layer=layer, epoch=epoch, max_epoch=max_epoch,
-                                 noise=round(noise, 5), samples=samples)
+            status = dict(layer=layer, epoch=epoch, max_epoch=max_epoch,
+                          noise=(round(noise, 5) if noise == noise and noise != float("inf") else None),
+                          samples=samples)
+            if "tile_batch" in kw:
+                status["tile_batch"] = list(kw["tile_batch"])
+            state.publish_status(**status)
             if image is not None:
                 state.publish_frame(image)
     else:
         progress = monitor
-    out = render(prepared, prof, progress=progress)
+    out = render(prepared, prof, progress=progress,
+                 tile_progress=16 if state is not None else 0)
     monitor.finish()
-    if server is not None:
-        server.stop()
 
     infos = out.get("__info__", {})
     for layer, info in infos.items():
@@ -171,6 +179,10 @@ def main(argv=None) -> int:
                 f"({info['samples_per_second'] / 1e6:.2f} Mspps)",
                 file=sys.stderr,
             )
+            if state is not None:
+                state.publish_status(**{f"{layer}_final": dict(
+                    samples=info["samples"], seconds=round(info["seconds"], 2),
+                    mspps=round(info["samples_per_second"] / 1e6, 3))})
     if "composition_errors" in infos:
         for op, msg in infos["composition_errors"].items():
             print(f"composition {op}: {msg}", file=sys.stderr)
@@ -181,6 +193,49 @@ def main(argv=None) -> int:
             continue
         images.save(path, out[layer])
         print(f"saved {layer} -> {path}", file=sys.stderr)
+    return infos
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    prof = load_profile(args)
+    if prof.scene is None:
+        raise SystemExit("no scene: pass -p file.echo or --scene builtin")
+
+    state = server = None
+    if args.preview is not None:
+        from .ui.preview import PreviewServer, PreviewState
+
+        state = PreviewState()
+        server = PreviewServer(state, host="0.0.0.0", port=args.preview).start()
+        print(f"live preview: http://localhost:{server.port}/", file=sys.stderr)
+
+    try:
+        monitor = ConsoleMonitor()
+        _render_once(args, prof, state, monitor)
+        if args.watch and args.profile:
+            print(f"watching {args.profile} (ctrl-c to stop)...", file=sys.stderr)
+
+            def on_change():
+                print(f"\n{args.profile} changed; re-rendering", file=sys.stderr)
+                if state is not None:
+                    state.publish_status(state="rescheduled")
+                try:
+                    _render_once(args, load_profile(args), state, ConsoleMonitor())
+                except Exception as e:  # parse errors keep the watcher alive
+                    print(f"reload failed: {e}", file=sys.stderr)
+
+            watch_file(args.profile, on_change)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if server is not None:
+            server.stop()
     return 0
 
 

@@ -146,11 +146,15 @@ def preview_progress(state: PreviewState, scene, profile):
     """A render_layer progress callback that publishes status (frames are
     published by the epoch loop via accumulator means)."""
 
-    def cb(epoch, max_epoch, noise, layer="main", samples=0, image=None):
-        state.publish_status(
+    def cb(epoch, max_epoch, noise, layer="main", samples=0, image=None, **kw):
+        status = dict(
             layer=layer, epoch=epoch, max_epoch=max_epoch,
-            noise=round(noise, 5), samples=samples,
+            noise=(round(noise, 5) if np.isfinite(noise) else None),
+            samples=samples,
         )
+        if "tile_batch" in kw:  # spiral fill-in progress (b, n_batches)
+            status["tile_batch"] = list(kw["tile_batch"])
+        state.publish_status(**status)
         if image is not None:
             state.publish_frame(np.asarray(image))
 

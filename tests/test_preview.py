@@ -1,6 +1,7 @@
 """Live preview server tests (GUI analogue, ui/preview.py)."""
 
 import json
+import time
 import urllib.request
 
 import numpy as np
@@ -70,3 +71,66 @@ class TestPreviewServer:
         assert frames == [(8, 12, 3), (8, 12, 3)]
         assert state.frame_png() is not None
         assert state.status()["epoch"] == 2
+
+
+# ---------------------------------------------------------------------------
+# round-2 GUI depth: tile fill-in, watch/reschedule, final stats
+# ---------------------------------------------------------------------------
+
+def test_tile_progressive_bitwise_identical_and_fills_in():
+    """tile_progress renders epoch 0 as spiral tile batches: partial frames
+    stream through the callback, final image is bitwise unchanged."""
+    import jax.numpy as jnp
+
+    from echorenderer_tpu.models import scenes
+    from echorenderer_tpu.processes.render import EvaluationProfile, render_layer
+    from echorenderer_tpu.scene.prepare import prepare_scene
+
+    prepared = prepare_scene(scenes.cornell_box())
+    prof = EvaluationProfile(
+        evaluator="path", samples_per_epoch=4, min_epoch=1, max_epoch=1,
+        bounce_limit=3, adaptive=False,
+    )
+    partials = []
+
+    def cb(epoch, max_epoch, noise, layer="main", samples=0, image=None, **kw):
+        if "tile_batch" in kw and image is not None:
+            partials.append((kw["tile_batch"], np.asarray(image).copy()))
+
+    img_tiled, _ = render_layer(prepared, prof, (48, 32), seed=5, progress=cb,
+                                tile_progress=4)
+    img_plain, _ = render_layer(prepared, prof, (48, 32), seed=5)
+    np.testing.assert_array_equal(img_tiled, img_plain)
+
+    # 48x32 with 32px tiles = 2 spiral tiles -> batches clamp to 2
+    assert len(partials) == 2
+    # coverage grows monotonically (spiral fill-in): nonzero pixels increase
+    nz = [int((np.abs(p).sum(-1) > 0).sum()) for _, p in partials]
+    assert nz == sorted(nz) and nz[0] < nz[-1]
+    assert [b for (b, _n), _ in partials] == [1, 2]
+
+
+def test_watch_file_triggers_on_change(tmp_path):
+    """The save-to-reschedule watcher (reference SchedulerUI.cs:22-34)."""
+    import threading
+
+    from echorenderer_tpu.terminal import watch_file
+
+    f = tmp_path / "scene.echo"
+    f.write_text("a")
+    stop = threading.Event()
+    fired = threading.Event()
+
+    def on_change():
+        fired.set()
+        stop.set()
+
+    t = threading.Thread(
+        target=watch_file, args=(str(f), on_change, stop, 0.05), daemon=True
+    )
+    t.start()
+    time.sleep(0.2)
+    f.write_text("b")  # mtime bump
+    assert fired.wait(timeout=5.0)
+    t.join(timeout=2.0)
+    assert not t.is_alive()
