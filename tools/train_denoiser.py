@@ -38,6 +38,7 @@ from echorenderer_tpu.scene.prepare import prepare_scene
 RES = (192, 128)
 NOISY_SPP = 16
 CLEAN_SPP = 1024
+NOISY_VIEWS = 4
 CROP = 64
 
 
@@ -85,6 +86,9 @@ def render_frame(prepared, spp, seed):
 
 
 def build_dataset(cache: str):
+    """Per scene variant: one high-spp clean target + NOISY_VIEWS noisy
+    renders at distinct seeds (shared clean amortizes the expensive
+    render). Returns frame-aligned (noisy, albedo, normal, clean) stacks."""
     if os.path.exists(cache):
         d = np.load(cache)
         return [d[k] for k in ("noisy", "albedo", "normal", "clean")]
@@ -92,9 +96,9 @@ def build_dataset(cache: str):
     for name, make in scene_variants():
         t0 = time.perf_counter()
         prepared = prepare_scene(make())
-        for seed in (0, 1):
+        clean, _, _ = render_frame(prepared, CLEAN_SPP, seed=100)
+        for seed in range(NOISY_VIEWS):
             noisy, alb, nrm = render_frame(prepared, NOISY_SPP, seed=seed * 7 + 1)
-            clean, _, _ = render_frame(prepared, CLEAN_SPP, seed=100 + seed)
             noisy_l.append(noisy)
             alb_l.append(alb)
             nrm_l.append(nrm)
@@ -105,24 +109,50 @@ def build_dataset(cache: str):
     return arrs
 
 
+def build_eval_fixture(path: str):
+    """Unseen-seed eval pairs on the three showcase scenes (the test gate
+    tests/test_denoise.py compares learned vs bilateral on these)."""
+    if os.path.exists(path):
+        return
+    packs = {}
+    for name, make in (
+        ("cornell", lambda: scenes.cornell_box()),
+        ("ball", lambda: scenes.material_ball()),
+        ("spheres", lambda: scenes.sphere_field(count=80, seed=3)),
+    ):
+        prepared = prepare_scene(make())
+        noisy, alb, nrm = render_frame(prepared, NOISY_SPP, seed=53)
+        clean, _, _ = render_frame(prepared, CLEAN_SPP, seed=900)
+        packs[f"{name}_noisy"] = noisy
+        packs[f"{name}_albedo"] = alb
+        packs[f"{name}_normal"] = nrm
+        packs[f"{name}_clean"] = clean
+        print(f"  eval {name} done", flush=True)
+    np.savez_compressed(path, **packs)
+
+
 def tonemap(x):
     return jnp.log1p(jnp.maximum(x, 0.0))
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--steps", type=int, default=20000)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=2e-3)
-    ap.add_argument("--cache", default="/tmp/denoise_dataset.npz")
+    ap.add_argument("--cache", default="/tmp/denoise_dataset_v2.npz")
     args = ap.parse_args()
 
     print("building dataset...", flush=True)
     noisy, albedo, normal, clean = build_dataset(args.cache)
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "tests", "fixtures",
+        "denoise_eval.npz",
+    )
+    build_eval_fixture(fixture)
     n_frames = noisy.shape[0]
-    # hold out the last frame for evaluation
-    train_ids = np.arange(n_frames - 1)
-    print(f"dataset: {n_frames} frames {noisy.shape[1:]} (1 held out)", flush=True)
+    train_ids = np.arange(n_frames)
+    print(f"dataset: {n_frames} frames {noisy.shape[1:]}", flush=True)
 
     params = denoise.init_params(jax.random.PRNGKey(0))
     opt = optax.adam(args.lr)
@@ -163,16 +193,21 @@ def main():
         if i % 200 == 0 or i == args.steps - 1:
             print(f"step {i}: loss {float(loss):.4f} ({time.perf_counter()-t0:.0f}s)", flush=True)
 
-    # --- evaluate on the held-out frame vs the bilateral baseline ---
-    hn, ha, hm, hc = (jnp.asarray(a[-1]) for a in (noisy, albedo, normal, clean))
-    learned = denoise.apply(params, hn[None], ha[None], hm[None])[0]
+    # --- evaluate on the unseen-seed showcase fixtures vs the bilateral ---
     from echorenderer_tpu.processes.composition import BilateralDenoise
 
-    bilateral = BilateralDenoise().apply(
-        {"main": hn, "albedo": ha, "normal_depth": hm}
-    )["main"]
-    mse = lambda a: float(jnp.mean((tonemap(a) - tonemap(hc)) ** 2))
-    print(f"held-out MSE: noisy {mse(hn):.5f}  bilateral {mse(bilateral):.5f}  learned {mse(learned):.5f}", flush=True)
+    fx = np.load(fixture)
+    for scene_name in ("cornell", "ball", "spheres"):
+        hn = jnp.asarray(fx[f"{scene_name}_noisy"])
+        ha = jnp.asarray(fx[f"{scene_name}_albedo"])
+        hm = jnp.asarray(fx[f"{scene_name}_normal"])
+        hc = jnp.asarray(fx[f"{scene_name}_clean"])
+        learned = denoise.apply(params, hn[None], ha[None], hm[None])[0]
+        bilateral = BilateralDenoise().apply(
+            {"main": hn, "albedo": ha, "normal_depth": hm}
+        )["main"]
+        mse = lambda a: float(jnp.mean((tonemap(a) - tonemap(hc)) ** 2))
+        print(f"{scene_name}: noisy {mse(hn):.6f}  bilateral {mse(bilateral):.6f}  learned {mse(learned):.6f}", flush=True)
 
     os.makedirs(os.path.dirname(denoise.WEIGHTS_PATH), exist_ok=True)
     np.savez(denoise.WEIGHTS_PATH, **{k: np.asarray(v) for k, v in params.items()})
