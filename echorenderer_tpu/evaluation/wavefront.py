@@ -45,6 +45,7 @@ def sample_frame_wavefront(
     enable_nee: bool = True,
     enable_fwd_mis: bool = True,
     return_stats: bool = False,
+    sort_lanes: bool | None = None,  # None = auto (hier scenes on TPU)
 ):
     """Accumulate `count` path samples per pixel lane. Returns
     (sum, sum_sq) of shape (N, 3); with return_stats also a dict of named
@@ -69,28 +70,55 @@ def sample_frame_wavefront(
                 scene, pixel_id, pixel_xy, resolution, seed, sample_start,
                 count, bounce_limit=bounce_limit, survivability=survivability,
             )
+        import os
+
+        if megakernel.supported_hier(scene) and os.environ.get("ECHO_MEGA_HIER"):
+            # fat-chunk hierarchical megakernel: correct (tested) but its
+            # packet walk loses to the sorted XLA wavefront on incoherent
+            # bounce rays (0.18 vs 0.4 Mspps on 250k tris) — opt-in for
+            # coherence experiments until per-ray binned traversal lands
+            return megakernel.sample_frame_mega(
+                scene, pixel_id, pixel_xy, resolution, seed, sample_start,
+                count, bounce_limit=bounce_limit, survivability=survivability,
+                hier=True,
+            )
     n = pixel_id.shape[0]
     f3 = lambda: jnp.zeros((n, 3), jnp.float32)
 
-    def stream_for(sample_id):
+    # lane sorting (morton origin cell + direction octant, re-permuting the
+    # whole wave each iteration): bitwise-invariant (every draw keys on
+    # (pixel, sample, dim) and the pixel identity travels with the lane;
+    # tested) but measured a net LOSS on real frames — 250k tris @ 960x540:
+    # 0.33 vs 0.37 Mspps unsorted — because the tile-major camera order
+    # already carries the packet coherence and bounce rays stay divergent
+    # within any 1024-lane bucket at frame-sized waves. Standalone it
+    # recovers 2.4x on uniformly random rays, so it stays available for the
+    # planned binned-traversal wavefront; default off.
+    sort_waves = bool(sort_lanes)
+
+    def stream_lanes(pid, sample_id):
         return SampleStream(
-            pixel_id=pixel_id,
+            pixel_id=pid,
             sample_id=sample_start + sample_id,
             seed=jnp.asarray(seed, jnp.uint32),
         )
 
-    def spawn(sample_id):
-        s = stream_for(sample_id)
-        o, d = spawn_rays(scene.camera, pixel_xy, s.next_2d(0), s.next_2d(1), resolution)
+    def spawn(pid, pxy, sample_id):
+        s = stream_lanes(pid, sample_id)
+        o, d = spawn_rays(scene.camera, pxy, s.next_2d(0), s.next_2d(1), resolution)
         return o, d
 
-    o0, d0 = spawn(jnp.zeros((n,), jnp.uint32))
+    o0, d0 = spawn(pixel_id, pixel_xy, jnp.zeros((n,), jnp.uint32))
 
     state = dict(
         s_sum=f3(),
         s_sq=f3(),
         sample=jnp.zeros((n,), jnp.uint32),  # current sample index per lane
         lane_done=jnp.zeros((n,), bool),
+        # lane identity (permuted together with the path state when sorting)
+        pid=pixel_id,
+        pxy=pixel_xy,
+        home=jnp.arange(n, dtype=jnp.int32),  # original lane slot
         # live path state
         radiance=f3(),
         throughput=jnp.ones((n, 3), jnp.float32),
@@ -107,12 +135,50 @@ def sample_frame_wavefront(
         counters=jnp.zeros((6,), jnp.float32),
     )
 
+    def _morton10(v):
+        """Interleave the low 9 bits of a uint32 into every third bit."""
+        v = v & 0x1FF
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    def _sort_key(st):
+        o, d = st["o"], st["d"]
+        lo = jnp.min(jnp.where(st["lane_done"][:, None], jnp.inf, o), axis=0)
+        hi = jnp.max(jnp.where(st["lane_done"][:, None], -jnp.inf, o), axis=0)
+        q = jnp.clip(
+            ((o - lo) / jnp.maximum(hi - lo, 1e-20) * 511.0), 0.0, 511.0
+        ).astype(jnp.uint32)
+        cell = (
+            (_morton10(q[:, 0]) << 2) | (_morton10(q[:, 1]) << 1) | _morton10(q[:, 2])
+        )
+        octant = (
+            (d[:, 0] > 0).astype(jnp.uint32) * 4
+            + (d[:, 1] > 0).astype(jnp.uint32) * 2
+            + (d[:, 2] > 0).astype(jnp.uint32)
+        )
+        key = (cell << 3) | octant
+        # dead lanes cluster at the end: whole blocks go idle and the
+        # kernel's occupancy gate skips them outright
+        return jnp.where(st["lane_done"], jnp.uint32(0xFFFFFFFF), key)
+
+    def _permute(st):
+        order = jnp.argsort(_sort_key(st))
+        out = {}
+        for k, v in st.items():
+            out[k] = v if k in ("iters", "counters") else v[order]
+        return out
+
     def cond(st):
         return jnp.any(~st["lane_done"])
 
     def body(st):
+        if sort_waves:
+            st = _permute(st)
         live = ~st["lane_done"]
-        stream = stream_for(st["sample"])
+        stream = stream_lanes(st["pid"], st["sample"])
 
         # all physics (trace, MIS emission, NEE, bounce, RR) lives in the
         # shared path_step — bit-identical to the lockstep integrator
@@ -137,13 +203,16 @@ def sample_frame_wavefront(
         lane_done = st["lane_done"] | (path_done & (next_sample >= count))
         respawn = path_done & ~lane_done
 
-        cam_o, cam_d = spawn(next_sample)
+        cam_o, cam_d = spawn(st["pid"], st["pxy"], next_sample)
         sel = lambda m, a, b: jnp.where(m[..., None] if a.ndim > 1 else m, a, b)
         return dict(
             s_sum=s_sum,
             s_sq=s_sq,
             sample=next_sample,
             lane_done=lane_done,
+            pid=st["pid"],
+            pxy=st["pxy"],
+            home=st["home"],
             radiance=sel(respawn, jnp.zeros_like(radiance), radiance),
             throughput=sel(respawn, jnp.ones_like(new_tp), new_tp),
             o=sel(respawn, cam_o, out["cont_o"]),
@@ -171,6 +240,10 @@ def sample_frame_wavefront(
         )
 
     state = jax.lax.while_loop(cond, body, state)
+    if sort_waves:  # un-permute: each lane's sums back to its input slot
+        inv = jnp.zeros((n,), jnp.int32).at[state["home"]].set(jnp.arange(n, dtype=jnp.int32))
+        state["s_sum"] = state["s_sum"][inv]
+        state["s_sq"] = state["s_sq"][inv]
     if return_stats:
         stats = dict(
             zip(

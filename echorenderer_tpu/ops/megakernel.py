@@ -41,11 +41,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.rng import SampleStream
+from .pallas_hier import HCHUNK
 from .pallas_intersect import PRIM_BLOCK, RAY_BLOCK, _chunk_hits, _interpret
 
 # applicability limits: prim rows + (chunk, BR) intermediates must fit VMEM
 MEGA_PRIM_LIMIT = 2048
 MEGA_LIGHT_LIMIT = 512
+
+# "fat chunk" layout for the hierarchical megakernel (large scenes): the
+# 16 intersect rows of ops/pallas_hier's chunk tensor followed by the 17
+# SP_ROWS shading rows, padded to 40 sublanes. Streaming the shading
+# attributes WITH the geometry and capturing the winning prim's rows in
+# the hit merge is what removes every per-prim table lookup from the
+# shading stage — the O(P) one-hot gathers that cap the dense megakernel
+# at MEGA_PRIM_LIMIT don't exist on this path.
+FAT_ROWS = 40
+FAT_ATTR = 16  # first shading row inside a fat chunk
+# walk state rows in VMEM scratch: 0 t (or occlusion flag), 1 p, 2 u, 3 v,
+# 4..20 captured shading rows
+WS_ROWS = 24
 
 _INF = 3.4e38
 F32 = jnp.float32
@@ -689,6 +703,193 @@ def _occlude_rows(rows, chunks, o, d, tmax, ign, has_tri, has_sph):
     return blocked
 
 
+def _hier_walk(bounds_ref, codes_ref, fat_hbm, pscratch, wstate, stack,
+               dstate, sem0, sem1, o, d, tmax, ign, *, root_code, n_sub,
+               has_tri, has_sph, any_hit):
+    """Packet BVH walk over DMA-streamed fat chunks, inline inside the
+    megakernel iteration (the traversal mirrors ops/pallas_hier._hier_kernel;
+    state lives in the `wstate` VMEM scratch so pl.when-guarded drains can
+    mutate it inside the while body). o/d/tmax/ign are (1, BR) rows.
+
+    Closest-hit mode returns (t, p, u, v, [17 shading rows]) — the shading
+    rows are the winning prim's SP_ROWS, captured during the merge.
+    Any-hit mode returns the blocked row."""
+    inv = lambda x: jnp.where(
+        jnp.abs(x) < 1e-12, 1e12 * jnp.where(x < 0, -1.0, 1.0), 1.0 / x
+    )
+    ox, oy, oz = o
+    dx, dy, dz = d
+    ix, iy, iz = inv(dx), inv(dy), inv(dz)
+
+    if any_hit:
+        wstate[0] = jnp.zeros((RAY_BLOCK,), F32)
+    else:
+        wstate[0] = tmax.reshape(-1)
+        wstate[1] = jnp.full((RAY_BLOCK,), -1.0, F32)
+        for k in range(2, 4 + SP_ROWS):
+            wstate[k] = jnp.zeros((RAY_BLOCK,), F32)
+
+    alive = jnp.any(tmax > 0.0)
+    stack[0] = root_code
+    sp0 = jnp.where(alive, 1, 0)
+    dstate[0] = -1
+    dstate[1] = 0
+
+    def drain():
+        pend = dstate[0]
+        buf = dstate[1]
+
+        @pl.when(buf == 0)
+        def _():
+            pltpu.make_async_copy(fat_hbm.at[pend], pscratch.at[0], sem0).wait()
+
+        @pl.when(buf == 1)
+        def _():
+            pltpu.make_async_copy(fat_hbm.at[pend], pscratch.at[1], sem1).wait()
+
+        src = pscratch[buf]  # (FAT_ROWS, HCHUNK)
+        if any_hit:
+            prev = wstate[0].reshape(1, -1)
+            lim = jnp.where(prev > 0.5, -1.0, tmax)
+        else:
+            best_t = wstate[0].reshape(1, -1)
+            best_p = wstate[1].reshape(1, -1)
+            best_u = wstate[2].reshape(1, -1)
+            best_v = wstate[3].reshape(1, -1)
+            best_a = [wstate[4 + k].reshape(1, -1) for k in range(SP_ROWS)]
+        for s in range(n_sub):
+            blk = [src[i : i + 1, s * 128 : (s + 1) * 128] for i in range(10)]
+            k_base = (pend * HCHUNK + s * 128).astype(F32)
+            t, u, v, pid = _chunk_hits(
+                blk, k_base, ox, oy, oz, dx, dy, dz, ign, has_tri, has_sph
+            )
+            if any_hit:
+                hit = jnp.any(t < lim, axis=0, keepdims=True)
+                prev = jnp.where(hit, 1.0, prev)
+            else:
+                tm = jnp.min(t, axis=0, keepdims=True)
+                sel = t <= tm
+                pm = jnp.min(jnp.where(sel, pid, _INF), axis=0, keepdims=True)
+                sel2 = sel & (pid == pm)
+                um = jnp.sum(jnp.where(sel2, u, 0.0), axis=0, keepdims=True)
+                vm = jnp.sum(jnp.where(sel2, v, 0.0), axis=0, keepdims=True)
+                closer = tm < best_t
+                best_t = jnp.where(closer, tm, best_t)
+                best_p = jnp.where(closer, pm, best_p)
+                best_u = jnp.where(closer, um, best_u)
+                best_v = jnp.where(closer, vm, best_v)
+                for k in range(SP_ROWS):
+                    col = jnp.transpose(
+                        src[FAT_ATTR + k : FAT_ATTR + k + 1, s * 128 : (s + 1) * 128]
+                    )  # (128, 1) prim attr on sublanes
+                    am = jnp.sum(jnp.where(sel2, col, 0.0), axis=0, keepdims=True)
+                    best_a[k] = jnp.where(closer, am, best_a[k])
+        if any_hit:
+            wstate[0] = prev.reshape(-1)
+        else:
+            wstate[0] = best_t.reshape(-1)
+            wstate[1] = best_p.reshape(-1)
+            wstate[2] = best_u.reshape(-1)
+            wstate[3] = best_v.reshape(-1)
+            for k in range(SP_ROWS):
+                wstate[4 + k] = best_a[k].reshape(-1)
+
+    def body(sp):
+        code = stack[sp - 1]
+        sp = sp - 1
+        is_leaf = code < 0
+        e = -(code + 1)
+
+        if any_hit:
+            blocked = wstate[0].reshape(1, -1)
+            limit = jnp.where(blocked > 0.5, -1.0, tmax)
+        else:
+            limit = wstate[0].reshape(1, -1)
+
+        node = jnp.maximum(code, 0)
+        base = node * 12
+
+        def slab(side):
+            b = base + side * 6
+            t0x = (bounds_ref[b + 0] - ox) * ix
+            t0y = (bounds_ref[b + 1] - oy) * iy
+            t0z = (bounds_ref[b + 2] - oz) * iz
+            t1x = (bounds_ref[b + 3] - ox) * ix
+            t1y = (bounds_ref[b + 4] - oy) * iy
+            t1z = (bounds_ref[b + 5] - oz) * iz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            ok = (tn <= tf) & (tf > 0.0) & (tn < limit)
+            return jnp.any(ok), jnp.min(jnp.where(ok, tn, _INF))
+
+        h0, tn0 = slab(0)
+        h1, tn1 = slab(1)
+        h0 = h0 & ~is_leaf
+        h1 = h1 & ~is_leaf
+        c0 = codes_ref[2 * node]
+        c1 = codes_ref[2 * node + 1]
+
+        near0 = tn0 <= tn1
+        far_code = jnp.where(near0, c1, c0)
+        far_hit = jnp.where(near0, h1, h0)
+        near_code = jnp.where(near0, c0, c1)
+        near_hit = jnp.where(near0, h0, h1)
+
+        @pl.when(far_hit)
+        def _():
+            stack[sp] = far_code
+
+        sp1 = sp + far_hit.astype(jnp.int32)
+
+        @pl.when(near_hit)
+        def _():
+            stack[sp1] = near_code
+
+        sp2 = sp1 + near_hit.astype(jnp.int32)
+
+        @pl.when(is_leaf)
+        def _():
+            chunk = e
+            pend = dstate[0]
+            nb = jnp.where(pend >= 0, 1 - dstate[1], 0)
+
+            @pl.when(nb == 0)
+            def _():
+                pltpu.make_async_copy(fat_hbm.at[chunk], pscratch.at[0], sem0).start()
+
+            @pl.when(nb == 1)
+            def _():
+                pltpu.make_async_copy(fat_hbm.at[chunk], pscratch.at[1], sem1).start()
+
+            pl.when(pend >= 0)(drain)
+            dstate[0] = chunk
+            dstate[1] = nb
+
+        if any_hit:
+            done = ~jnp.any((wstate[0].reshape(1, -1) < 0.5) & (tmax > 0.0))
+            sp2 = jnp.where(done, 0, sp2)
+        return sp2
+
+    jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
+    pl.when(dstate[0] >= 0)(drain)
+
+    if any_hit:
+        return wstate[0].reshape(1, -1)
+    return (
+        wstate[0].reshape(1, -1),
+        wstate[1].reshape(1, -1),
+        wstate[2].reshape(1, -1),
+        wstate[3].reshape(1, -1),
+        [wstate[4 + k].reshape(1, -1) for k in range(SP_ROWS)],
+    )
+
+
 # ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
@@ -699,18 +900,30 @@ def _mega_kernel(
     pid_ref, pxf_ref, pyf_ref, s0_ref, valid_ref,
     *table_refs,
     outs,
+    scratch,
     static,
 ):
     (count, bounce_limit, survivability, width, height, present,
      n_chunks, chunk_w, has_tri, has_sph, n_lights, l_pad, m_pad, e_pad,
-     has_point, has_dir, has_amb, has_emissive, sp_pad) = static
+     has_point, has_dir, has_amb, has_emissive, sp_pad,
+     hier, hier_root, hier_nsub) = static
 
-    rows = [r[:] for r in table_refs[:10]]  # (1, P) prim component rows
-    spT = table_refs[10][:]
-    matT = table_refs[11][:]
-    lightT = table_refs[12][:]
-    epackT = table_refs[13][:]
-    chunks = [(c * chunk_w, (c + 1) * chunk_w) for c in range(n_chunks)]
+    if hier:
+        # large-scene path: fat chunks streamed from HBM during the walk
+        bounds_ref, codes_ref = table_refs[0], table_refs[1]
+        fat_hbm = table_refs[2]
+        matT = table_refs[3][:]
+        lightT = table_refs[4][:]
+        epackT = table_refs[5][:]
+        (pscratch, wstate, stack, dstate, sem0, sem1) = scratch
+        rows = spT = chunks = None
+    else:
+        rows = [r[:] for r in table_refs[:10]]  # (1, P) prim component rows
+        spT = table_refs[10][:]
+        matT = table_refs[11][:]
+        lightT = table_refs[12][:]
+        epackT = table_refs[13][:]
+        chunks = [(c * chunk_w, (c + 1) * chunk_w) for c in range(n_chunks)]
 
     S = (1, 8, 128)
     row = lambda x: x.reshape(1, RAY_BLOCK)
@@ -803,16 +1016,25 @@ def _mega_kernel(
         seg_t = jnp.where(live, _INF, 0.0)
         o_r = tuple(row(c) for c in o)
         d_r = tuple(row(c) for c in d)
-        t_r, p_r, u_r, v_r = _trace_rows(
-            rows, chunks, o_r, d_r, row(seg_t), row(ignore), has_tri, has_sph
-        )
-        prim_row = jnp.maximum(p_r, 0.0)
-        srow = _lookup(spT, prim_row, sp_pad)  # (SP_ROWS, BR)
+        if hier:
+            t_r, p_r, u_r, v_r, srows = _hier_walk(
+                bounds_ref, codes_ref, fat_hbm, pscratch, wstate, stack,
+                dstate, sem0, sem1, o_r, d_r, row(seg_t), row(ignore),
+                root_code=hier_root, n_sub=hier_nsub,
+                has_tri=has_tri, has_sph=has_sph, any_hit=False,
+            )
+            sr = [grid(s) for s in srows]
+        else:
+            t_r, p_r, u_r, v_r = _trace_rows(
+                rows, chunks, o_r, d_r, row(seg_t), row(ignore), has_tri, has_sph
+            )
+            prim_row = jnp.maximum(p_r, 0.0)
+            srow = _lookup(spT, prim_row, sp_pad)  # (SP_ROWS, BR)
+            sr = [grid(srow[i : i + 1]) for i in range(SP_ROWS)]
         hit_t = grid(t_r)
         hit_p = grid(p_r)
         hit_u = grid(u_r)
         hit_v = grid(v_r)
-        sr = [grid(srow[i : i + 1]) for i in range(SP_ROWS)]
         found = live & (hit_p >= 0.0)
         prim_c = jnp.maximum(hit_p, 0.0)
 
@@ -999,14 +1221,27 @@ def _mega_kernel(
         shadow_o = _offset_origin(point, geo_n, incident)
         shadow_t = jnp.where(travel >= _INF, _INF, travel * (1.0 - 1e-3))
         shadow_t = jnp.where(candidate, shadow_t, 0.0)
-        blocked = grid(
-            _occlude_rows(
-                rows, chunks,
-                tuple(row(c) for c in shadow_o),
-                tuple(row(c) for c in incident),
-                row(shadow_t), row(prim_c), has_tri, has_sph,
+        if hier:
+            blocked = grid(
+                _hier_walk(
+                    bounds_ref, codes_ref, fat_hbm, pscratch, wstate, stack,
+                    dstate, sem0, sem1,
+                    tuple(row(c) for c in shadow_o),
+                    tuple(row(c) for c in incident),
+                    row(shadow_t), row(prim_c),
+                    root_code=hier_root, n_sub=hier_nsub,
+                    has_tri=has_tri, has_sph=has_sph, any_hit=True,
+                )
             )
-        )
+        else:
+            blocked = grid(
+                _occlude_rows(
+                    rows, chunks,
+                    tuple(row(c) for c in shadow_o),
+                    tuple(row(c) for c in incident),
+                    row(shadow_t), row(prim_c), has_tri, has_sph,
+                )
+            )
         visible = candidate & ~(blocked > 0.5)
         mis_w = jnp.where(use_mis, _power_heuristic(nee_pdf, scatter_pdf_l), 1.0)
         nee_scale = mis_w / jnp.maximum(nee_pdf, 1e-20)
@@ -1070,8 +1305,11 @@ def _mega_kernel(
 
 
 def _wrap_mega(*refs, static):
-    ins, outs = refs[:21], refs[21:27]
-    _mega_kernel(*ins, outs=outs, static=static)
+    hier = static[19]
+    n_in = 13 if hier else 21  # 2 scalar + 5 ray + (3 hier | 14 dense) tables
+    ins, outs = refs[:n_in], refs[n_in : n_in + 6]
+    scratch = refs[n_in + 6 :] if hier else None
+    _mega_kernel(*ins, outs=outs, scratch=scratch, static=static)
 
 
 # ---------------------------------------------------------------------------
@@ -1094,6 +1332,55 @@ def supported(scene) -> bool:
         and scene.lights.num_lights <= MEGA_LIGHT_LIMIT
         and scene.emissive_pack.shape[0] <= MEGA_LIGHT_LIMIT
     )
+
+
+def supported_hier(scene) -> bool:
+    """Applicability of the large-scene (fat-chunk) megakernel: any scene
+    with hierarchical tables and megakernel-compatible lights/camera.
+    Instanced scenes stay on the XLA wavefront for now."""
+    from ..scene.cameras import PERSPECTIVE
+
+    soa = scene.hier_soa
+    return (
+        soa is not None
+        and not soa.instanced
+        and scene.instances is None
+        and scene.lights.tree is None
+        and not scene.env_maps
+        and scene.tex_atlas.shape[0] == 0
+        and scene.camera.kind == PERSPECTIVE
+        and scene.lights.num_lights <= MEGA_LIGHT_LIMIT
+        and scene.emissive_pack.shape[0] <= MEGA_LIGHT_LIMIT
+    )
+
+
+def _build_fat_chunks(scene):
+    """(C, FAT_ROWS, HCHUNK) fat chunk tensor: the hier SoA's 16 intersect
+    rows + the SP_ROWS shading rows in sorted-slot order (padding slots
+    contribute nothing: their intersect rows never hit, and attr rows are
+    zero-filled)."""
+    soa = scene.hier_soa
+    slots = soa.num_chunks * HCHUNK
+    p_orig = soa.num_prims
+    order = soa.order  # slot/sorted -> storage prim (length p_orig here)
+
+    def permpad_col(col, fill=0.0):
+        col = jnp.asarray(col, F32)[order]
+        return jnp.pad(col, (0, slots - p_orig), constant_values=fill)
+
+    sp = scene.shade_pack
+    lt = scene.lights
+    sp_rows = [permpad_col(sp[:, i]) for i in list(range(12)) + [18, 19, 20]]
+    sp_rows.append(permpad_col(lt.prim_light.astype(F32), -1.0))
+    prim_power = jnp.where(
+        lt.prim_light >= 0, lt.power[jnp.maximum(lt.prim_light, 0)], 0.0
+    )
+    sp_rows.append(permpad_col(prim_power))
+    attr = jnp.stack(sp_rows, 0).reshape(SP_ROWS, soa.num_chunks, HCHUNK)
+    attr = jnp.transpose(attr, (1, 0, 2))  # (C, SP_ROWS, HCHUNK)
+    fat = jnp.concatenate([soa.prim_chunks, attr], axis=1)  # (C, 33, H)
+    pad = FAT_ROWS - fat.shape[1]
+    return jnp.pad(fat, ((0, 0), (0, pad), (0, 0)))
 
 
 def _pad8(n: int) -> int:
@@ -1204,6 +1491,7 @@ def sample_frame_mega(
     *,
     bounce_limit: int = 16,
     survivability: float = 2.5,
+    hier: bool = False,
 ):
     """Drop-in replacement for evaluation/wavefront.sample_frame_wavefront
     (same contract: per-lane (sum, sum_sq) of `count` samples)."""
@@ -1224,43 +1512,81 @@ def sample_frame_mega(
 
     spT, matT, lightT, epackT, cam_row, tstatic = _build_tables(scene)
     seed_row = jnp.asarray(seed, U32).reshape(1)
-
-    soa = scene.prim_soa
-    p_pad = soa.padded
-    n_chunks = max(1, p_pad // PRIM_BLOCK) if p_pad > PRIM_BLOCK else 1
-    chunk_w = p_pad // n_chunks
     width, height = resolution
+
+    if hier:
+        hsoa = scene.hier_soa
+        n_chunks = chunk_w = 0
+        has_tri = hsoa.num_tris > 0
+        has_sph = hsoa.num_prims > hsoa.num_tris
+        hier_static = (True, hsoa.root_code, HCHUNK // 128)
+        stack_size = hsoa.stack_size
+    else:
+        soa = scene.prim_soa
+        p_pad = soa.padded
+        n_chunks = max(1, p_pad // PRIM_BLOCK) if p_pad > PRIM_BLOCK else 1
+        chunk_w = p_pad // n_chunks
+        has_tri = soa.num_tris > 0
+        has_sph = soa.num_prims > soa.num_tris
+        hier_static = (False, 0, 0)
+        stack_size = 0
 
     static = (
         count, bounce_limit, float(survivability), int(width), int(height),
         tuple(scene.materials.present), n_chunks, chunk_w,
-        soa.num_tris > 0, soa.num_prims > soa.num_tris,
+        has_tri, has_sph,
         tstatic["n_lights"], tstatic["l_pad"], tstatic["m_pad"], tstatic["e_pad"],
         tstatic["has_point"], tstatic["has_dir"], tstatic["has_amb"],
         tstatic["has_emissive"], tstatic["sp_pad"],
-    )
+    ) + hier_static
 
     ray_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
     smem = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.SMEM)
-    prim_rows = tuple(soa[:10])
 
-    outs = pl.pallas_call(
-        functools.partial(_wrap_mega, static=static),
-        grid=(g,),
-        in_specs=(
+    if hier:
+        fat = _build_fat_chunks(scene)
+        bounds, codes = scene.hier_soa.bounds, scene.hier_soa.codes
+        in_specs = (
+            [smem(cam_row), smem(seed_row)]
+            + [ray_spec] * 5
+            + [smem(bounds), smem(codes), pl.BlockSpec(memory_space=pl.ANY)]
+            + [full(matT), full(lightT), full(epackT)]
+        )
+        inputs = (cam_row, seed_row, pid, pxf, pyf, s0, valid,
+                  bounds, codes, fat, matT, lightT, epackT)
+        scratch_shapes = [
+            pltpu.VMEM((2, FAT_ROWS, HCHUNK), F32),  # DMA double buffer
+            pltpu.VMEM((WS_ROWS, RAY_BLOCK), F32),  # walk state
+            pltpu.SMEM((stack_size,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    else:
+        prim_rows = tuple(scene.prim_soa[:10])
+        in_specs = (
             [smem(cam_row), smem(seed_row)]
             + [ray_spec] * 5
             + [full(r) for r in prim_rows]
             + [full(spT), full(matT), full(lightT), full(epackT)]
-        ),
+        )
+        inputs = (cam_row, seed_row, pid, pxf, pyf, s0, valid,
+                  *prim_rows, spT, matT, lightT, epackT)
+        scratch_shapes = []
+
+    outs = pl.pallas_call(
+        functools.partial(_wrap_mega, static=static),
+        grid=(g,),
+        in_specs=in_specs,
         out_specs=[ray_spec] * 6,
         out_shape=[jax.ShapeDtypeStruct((g, 8, 128), F32)] * 6,
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(cam_row, seed_row, pid, pxf, pyf, s0, valid, *prim_rows, spT, matT, lightT, epackT)
+    )(*inputs)
 
     flat = [o.reshape(-1)[:n] for o in outs]
     s_sum = jnp.stack(flat[0:3], axis=-1)

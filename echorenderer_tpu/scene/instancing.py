@@ -566,8 +566,11 @@ def prepare_scene_instanced(
     assert keep == list(range(n_inst)), "internal: empty traversal block"
 
     geometry = FlatGeometry(**{k: jnp.asarray(v) for k, v in geom_np.items()})
+    # build from the host copies (device reads through the TPU tunnel are
+    # pathologically slow; see prepare_scene)
     hier = build_hier_soa_instanced(
-        geometry, trav_orders, inst_trav_pack, inv_a, inv_b, ilo, ihi
+        FlatGeometry(**geom_np), trav_orders, inst_trav_pack, inv_a, inv_b,
+        ilo, ihi,
     )
 
     # --- storage BVH (structural only; dispatch never uses it when

@@ -580,6 +580,9 @@ def prepare_scene(
     bvh = build_bvh(bmin, bmax)
 
     geometry = FlatGeometry(**{k: jnp.asarray(v) for k, v in geom_np.items()})
+    # host-side twin for the kernel-layout builders: reading the device
+    # arrays back costs ~5 s per transfer through the TPU tunnel
+    geom_host = FlatGeometry(**geom_np)
     mats = MaterialTable(
         type=jnp.asarray(mtypes),
         albedo=jnp.asarray(malbedo),
@@ -656,12 +659,12 @@ def prepare_scene(
         tex_atlas=jnp.asarray(tex_atlas),
         # kernel prim layout in BVH-leaf order: spatially tight chunks for
         # the packet-culling AABB test
-        prim_soa=build_prim_soa(geometry, order=np.asarray(bvh.prim_order)),
+        prim_soa=build_prim_soa(geom_host, order=np.asarray(bvh.prim_order)),
         shade_pack=jnp.asarray(shade),
         mat_pack=jnp.asarray(mat_pack),
         emissive_pack=jnp.asarray(epack),
         hier_soa=(
-            build_hier_soa(geometry, np.asarray(bvh.prim_order))
+            build_hier_soa(geom_host, np.asarray(bvh.prim_order))
             if num_prims >= HIER_BUILD_MIN
             else None
         ),

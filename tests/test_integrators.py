@@ -127,3 +127,32 @@ class TestWavefrontStatistics:
         assert float(stats["Ray/Traced"]) >= n * 4  # at least one segment per sample
         assert float(stats["Bounce/Created"]) > 0
         assert int(stats["Loop/Iterations"]) > 0
+
+
+def test_wavefront_lane_sorting_bitwise_invariant():
+    """Morton/octant lane sorting (large-scene coherence) must not change a
+    single bit of the per-pixel sums: every draw keys on (pixel, sample,
+    dim) and the pixel identity travels with the lane."""
+    import jax.numpy as jnp
+
+    from echorenderer_tpu.evaluation.wavefront import sample_frame_wavefront
+    from echorenderer_tpu.models import scenes as builtin
+    from echorenderer_tpu.scene.prepare import prepare_scene
+
+    scene = prepare_scene(builtin.cornell_box())
+    n = 24 * 16
+    pixel_id = jnp.arange(n, dtype=jnp.uint32)
+    pixel_xy = jnp.stack(
+        [(pixel_id % 24).astype(jnp.int32), (pixel_id // 24).astype(jnp.int32)], -1
+    )
+    kw = dict(bounce_limit=4, survivability=2.5)
+    a, a2 = sample_frame_wavefront(
+        scene, pixel_id, pixel_xy, (24, 16), 9, jnp.uint32(0), 3,
+        sort_lanes=False, **kw
+    )
+    b, b2 = sample_frame_wavefront(
+        scene, pixel_id, pixel_xy, (24, 16), 9, jnp.uint32(0), 3,
+        sort_lanes=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))

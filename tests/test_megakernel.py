@@ -70,3 +70,41 @@ def test_mega_unsupported_scenes_fall_back():
     # env-mapped scene: outside the megakernel envelope
     scene = prepare_scene(scenes.hdr_environment(resolution=(16, 8)))
     assert not supported(scene)
+
+
+def test_mega_hier_matches_dense():
+    """The fat-chunk hierarchical megakernel produces the same samples as
+    the dense (VMEM-resident) megakernel: identical draws/physics, only the
+    traversal differs (config #5's large-scene path, interpret mode)."""
+    from echorenderer_tpu.aggregation.bvh import build_bvh, geometry_bounds
+    from echorenderer_tpu.ops.megakernel import supported_hier
+    from echorenderer_tpu.ops.pallas_hier import build_hier_soa
+
+    scene = prepare_scene(scenes.sphere_field(300, seed=7))
+    assert supported(scene)
+    # scenes this small don't get hier tables from prepare; build directly
+    geom = scene.geometry
+    bmin, bmax = geometry_bounds(
+        {k: np.asarray(v) for k, v in geom._asdict().items()}
+    )
+    bvh = build_bvh(bmin, bmax)
+    hier = build_hier_soa(geom, np.asarray(bvh.prim_order))
+    scene_h = scene._replace(hier_soa=hier)
+    assert supported_hier(scene_h)
+
+    n = 1024
+    res = (32, 32)
+    pixel_id = jnp.arange(n, dtype=jnp.uint32)
+    pixel_xy = jnp.stack(
+        [(pixel_id % res[0]).astype(jnp.int32), (pixel_id // res[0]).astype(jnp.int32)],
+        -1,
+    )
+    kw = dict(bounce_limit=3, survivability=2.5)
+    a, a2 = sample_frame_mega(
+        scene, pixel_id, pixel_xy, res, 11, jnp.uint32(0), 2, **kw
+    )
+    b, b2 = sample_frame_mega(
+        scene_h, pixel_id, pixel_xy, res, 11, jnp.uint32(0), 2, hier=True, **kw
+    )
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(a2), atol=4e-2, rtol=2e-3)
