@@ -89,17 +89,42 @@ def _build_entity_pack(source, args, props, calls):
     return s
 
 
+class _MaterialSwatch(dict):
+    """DSL-facing material swatch (reference Scenic/Hierarchies/
+    MaterialSwatch.cs): a material -> material override map applied by a
+    PackInstance. The reference's C# indexer has no .echo syntax, so this
+    dialect exposes `.Map(original, replacement)` calls instead:
+
+        :sw = new MaterialSwatch .Map(link red link green)
+        :i  = new PackInstance { .Pack = link pack .Swatch = link sw }
+    """
+
+
+def _build_material_swatch(source, args, props, calls):
+    sw = _MaterialSwatch()
+    for name, cargs in calls:
+        if name != "Map":
+            raise KeyError(f"echo: unknown method .{name} on MaterialSwatch")
+        if len(cargs) != 2:
+            raise ValueError("echo: MaterialSwatch.Map takes (original, replacement)")
+        sw[cargs[0]] = cargs[1]
+    return sw
+
+
 def _build_pack_instance(source, args, props, calls):
     from ..scene import PackInstance
 
     pack = args[0] if args else None
+    swatch = None
     rest = []
     for name, value in props:
         if name == "Pack":
             pack = value
+        elif name == "Swatch":
+            swatch = value
         else:
             rest.append((name, value))
-    inst = PackInstance(pack)
+    inst = PackInstance(pack, material_swatch=dict(swatch) if swatch else None)
     _apply_entity_props(inst, rest)
     return inst
 
@@ -416,6 +441,7 @@ def _make_registry():
         "Scene": _build_scene,
         "EntityPack": _build_entity_pack,
         "PackInstance": _build_pack_instance,
+        "MaterialSwatch": _build_material_swatch,
         # geometry
         "PlaneEntity": _geometry_builder(geometries.PlaneEntity, size_prop=2),
         "BoxEntity": _geometry_builder(geometries.BoxEntity, size_prop=3),

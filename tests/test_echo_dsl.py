@@ -186,3 +186,50 @@ class TestRepoScenes:
         assert prepared.tex_atlas.shape[0] >= 2  # cloud + gradient textures
         out = render(prepared, prof)
         assert np.isfinite(out["main"]).all()
+
+
+def test_pack_instance_swatch_syntax(tmp_path):
+    """PackInstance + MaterialSwatch in .echo: two placements of one pack,
+    the second overriding red -> green through the swatch (reference
+    PackInstance.Swatch; .Map stands in for the C# indexer)."""
+    src_text = """
+:red = new Diffuse { .Albedo = "0.9 0.1 0.1" }
+:green = new Diffuse { .Albedo = "0.1 0.9 0.1" }
+:pack = new EntityPack
+{
+    .Add(new SphereEntity { .Material = link red .Radius = "0.6" })
+}
+:sw = new MaterialSwatch { .Map(link red link green) }
+:scene = new Scene
+{
+    .Add(new PackInstance { .Pack = link pack .Position = "-1.2 0 0" })
+    .Add(new PackInstance { .Pack = link pack .Swatch = link sw .Position = "1.2 0 0" })
+    .Add(new AmbientLight { .Intensity = "0.01 0.01 0.01" })
+    .Add(new PerspectiveCamera { .Position = "0 0 -4" .FieldOfView = "70" })
+}
+"""
+    f = tmp_path / "swatch.echo"
+    f.write_text(src_text)
+    from echorenderer_tpu.io.echo_dsl import EchoSource
+    from echorenderer_tpu.processes.render import (
+        EvaluationProfile,
+        RenderProfile,
+        render,
+    )
+    from echorenderer_tpu.scene.entities import Scene
+    from echorenderer_tpu.scene.prepare import prepare_scene
+
+    scene = EchoSource(str(f)).construct_first(Scene)
+    prepared = prepare_scene(scene)
+    # one shared sphere, three instances (root + 2 placements)
+    assert prepared.instances is not None
+    assert prepared.geometry.num_spheres == 1
+
+    prof = RenderProfile(
+        resolution=(48, 24),
+        evaluations=(EvaluationProfile(evaluator="albedo", layer_name="a"),),
+    )
+    img = render(prepared, prof)["a"]
+    left, right = img[:, :24], img[:, 24:]
+    assert (left[..., 0] > 0.5).any() and not (left[..., 1] > 0.5).any()
+    assert (right[..., 1] > 0.5).any() and not (right[..., 0] > 0.5).any()
