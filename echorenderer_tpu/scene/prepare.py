@@ -321,6 +321,58 @@ def assemble_triangles(tri_v, tri_f, tri_n, tri_uv, tri_m):
     return v0, e1, e2, n0, n1, n2, uv0, uv1, uv2, tmat
 
 
+def subdivide_triangles(parts: dict, threshold: float, max_iteration: int = 3):
+    """4-way midpoint subdivision of triangles whose area exceeds
+    `threshold` (reference TriangleEntity.GetSubdivided:190-267 +
+    PreparedPack.SubdivideSingle:54-69 — oversized triangles, typically
+    ground planes, otherwise inflate acceleration bounds). Vectorized over
+    the whole soup, one level per pass. `parts` holds per-face arrays
+    (v0, e1, e2, n0, n1, n2, uv0, uv1, uv2, tmat); returns the same dict."""
+    for _ in range(max_iteration):
+        v0, e1, e2 = parts["v0"], parts["e1"], parts["e2"]
+        area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+        split = area > threshold
+        if not split.any():
+            break
+        keep = {k: v[~split] for k, v in parts.items()}
+        s = {k: v[split] for k, v in parts.items()}
+
+        def lerp3(a, b):
+            m = 0.5 * (a + b)
+            n = np.linalg.norm(m, axis=-1, keepdims=True)
+            return m / np.maximum(n, 1e-20)
+
+        # corners and midpoints (positions exact, normals renormalized,
+        # uvs linear — the reference's barycentric interpolation)
+        A, B, C = s["v0"], s["v0"] + s["e1"], s["v0"] + s["e2"]
+        Mab, Mbc, Mca = 0.5 * (A + B), 0.5 * (B + C), 0.5 * (C + A)
+        nA, nB, nC = s["n0"], s["n1"], s["n2"]
+        nab, nbc, nca = lerp3(nA, nB), lerp3(nB, nC), lerp3(nC, nA)
+        uA, uB, uC = s["uv0"], s["uv1"], s["uv2"]
+        uab, ubc, uca = 0.5 * (uA + uB), 0.5 * (uB + uC), 0.5 * (uC + uA)
+
+        children = [
+            (A, Mab, Mca, nA, nab, nca, uA, uab, uca),
+            (Mab, B, Mbc, nab, nB, nbc, uab, uB, ubc),
+            (Mca, Mbc, C, nca, nbc, nC, uca, ubc, uC),
+            (Mab, Mbc, Mca, nab, nbc, nca, uab, ubc, uca),
+        ]
+        new = {k: [keep[k]] for k in parts}
+        for (a, b, c, na, nb, nc, ua, ub, uc) in children:
+            new["v0"].append(a.astype(np.float32))
+            new["e1"].append((b - a).astype(np.float32))
+            new["e2"].append((c - a).astype(np.float32))
+            new["n0"].append(na.astype(np.float32))
+            new["n1"].append(nb.astype(np.float32))
+            new["n2"].append(nc.astype(np.float32))
+            new["uv0"].append(ua.astype(np.float32))
+            new["uv1"].append(ub.astype(np.float32))
+            new["uv2"].append(uc.astype(np.float32))
+            new["tmat"].append(s["tmat"])
+        parts = {k: np.concatenate(v, 0) for k, v in new.items()}
+    return parts
+
+
 def _shared_packs(scene: Scene, instancing: str) -> set[int]:
     """ids of EntityPacks that get a shared BLAS + per-instance transforms
     instead of baking: every pack referenced by >= 2 PackInstances in
@@ -346,6 +398,7 @@ def prepare_scene(
     scene: Scene,
     camera_name: str | None = None,
     instancing: str = "auto",
+    subdivide: float | None = None,
 ) -> PreparedScene:
     shared = _shared_packs(scene, instancing)
     if shared:
@@ -381,6 +434,18 @@ def prepare_scene(
         v0, e1, e2, n0, n1, n2, uv0, uv1, uv2, tmat = assemble_triangles(
             tri_v, tri_f, tri_n, tri_uv, tri_m
         )
+        if subdivide is not None:
+            # split oversized triangles for acceleration quality (the
+            # reference applies GetSubdivided during PreparedPack build)
+            parts = subdivide_triangles(
+                dict(v0=v0, e1=e1, e2=e2, n0=n0, n1=n1, n2=n2,
+                     uv0=uv0, uv1=uv1, uv2=uv2, tmat=tmat),
+                float(subdivide),
+            )
+            v0, e1, e2 = parts["v0"], parts["e1"], parts["e2"]
+            n0, n1, n2 = parts["n0"], parts["n1"], parts["n2"]
+            uv0, uv1, uv2 = parts["uv0"], parts["uv1"], parts["uv2"]
+            tmat = parts["tmat"]
     else:
         # degenerate far-away invisible triangle keeps shapes non-empty
         mid = intern(mat_mod.Invisible())

@@ -134,3 +134,41 @@ class TestAggregatorQuality:
         assert np.isfinite(img).all()
         assert img.std() > 0.01  # actual cost variation across the frame
         assert img.min() >= 0.0 and img.max() <= 1.0
+
+
+def test_subdivide_oversized_triangles():
+    """prepare_scene(subdivide=area) 4-way splits big triangles (reference
+    TriangleEntity.GetSubdivided); image is unchanged geometry-wise."""
+    import numpy as np
+
+    from echorenderer_tpu.models import scenes
+    from echorenderer_tpu.processes.render import (
+        EvaluationProfile, RenderProfile, render,
+    )
+    from echorenderer_tpu.scene.prepare import prepare_scene
+
+    base = prepare_scene(scenes.cornell_box())
+    sub = prepare_scene(scenes.cornell_box(), subdivide=10.0)
+    assert sub.geometry.num_triangles > base.geometry.num_triangles
+    # areas conserved
+    a = lambda g: float(
+        0.5 * np.linalg.norm(
+            np.cross(np.asarray(g.tri_e1), np.asarray(g.tri_e2)), axis=-1
+        ).sum()
+    )
+    np.testing.assert_allclose(a(sub.geometry), a(base.geometry), rtol=1e-5)
+    # and no triangle is bigger than the threshold any more (max_iteration
+    # permitting: cornell's largest faces are 50 area -> 2 levels suffice)
+    areas = 0.5 * np.linalg.norm(
+        np.cross(np.asarray(sub.geometry.tri_e1), np.asarray(sub.geometry.tri_e2)),
+        axis=-1,
+    )
+    assert areas.max() <= 10.0 + 1e-4
+
+    prof = RenderProfile(
+        resolution=(32, 24),
+        evaluations=(EvaluationProfile(evaluator="albedo", layer_name="a"),),
+    )
+    img_a = render(base, prof)["a"]
+    img_b = render(sub, prof)["a"]
+    np.testing.assert_allclose(img_b, img_a, atol=2e-3)
