@@ -25,7 +25,10 @@ def main():
 
     scene = prepare_scene(scenes.sphere_field(80))
     resolution = (960, 540)
-    spp = 8  # per device program; several programs per timed rep
+    # per device program; large enough to amortize the wavefront's
+    # regeneration tail (8 -> 26.7 Mspps, 64 -> 34.3) while staying ~1 s
+    # per program, far under the device-time limit
+    spp = 64
     bounce_limit = 16
 
     def run(start):
@@ -36,7 +39,7 @@ def main():
         return s_sum
 
     run(0).block_until_ready()  # compile
-    n_progs = 4
+    n_progs = 2
     t0 = time.perf_counter()
     for i in range(n_progs):
         out = run(spp * (i + 1))

@@ -91,8 +91,11 @@ def standard_path_traced_profile(
         Watermark,
     )
 
-    spe = max(4, int(16 * quality))
-    max_epoch = max(2, int(20 * quality))
+    # larger epochs amortize the wavefront's regeneration tail (8 spp/call
+    # runs at 26.7 Mspps vs 34.3 at 64 on the bench scene); the adaptive
+    # phase still refines per-pixel after min_epoch
+    spe = max(8, int(32 * quality))
+    max_epoch = max(2, int(12 * quality))
     evaluations = (
         EvaluationProfile(evaluator="albedo", layer_name="albedo"),
         EvaluationProfile(
