@@ -82,6 +82,7 @@ class HierSoA(NamedTuple):
     """Device tables for the hierarchical kernel."""
 
     prim_chunks: jax.Array  # (C, 16, HCHUNK) f32: rows 0-9 components, 10 is_sphere
+    chunk_bounds: jax.Array  # (C, 6) f32 per-chunk AABB (lo xyz, hi xyz)
     bounds: jax.Array  # (B*12,) f32: per node, per child: min xyz / max xyz
     codes: jax.Array  # (B*2,) i32: child codes (>=0 node, <0 -(1+e))
     order: jax.Array  # (P,) int32 sorted slot -> storage prim id
@@ -101,7 +102,7 @@ class HierSoA(NamedTuple):
 
 jax.tree_util.register_pytree_node(
     HierSoA,
-    lambda s: (tuple(s[:7]), tuple(s[7:])),
+    lambda s: (tuple(s[:8]), tuple(s[8:])),
     lambda aux, xs: HierSoA(*xs, *aux),
 )
 
@@ -206,6 +207,7 @@ def build_hier_soa(geom: FlatGeometry, order: np.ndarray) -> HierSoA:
 
     return HierSoA(
         prim_chunks=jnp.asarray(prim_chunks),
+        chunk_bounds=jnp.asarray(np.concatenate([clo, chi], axis=1)),
         bounds=jnp.asarray(bounds.reshape(-1)),
         codes=jnp.asarray(codes.reshape(-1)),
         order=jnp.asarray(order),
@@ -280,11 +282,13 @@ def build_hier_soa_instanced(
         tlas_depth = 1
 
     node_base = n_tlas
+    all_cb = []
     for order_k in pack_orders:
         order_k = np.asarray(order_k, np.int32)
         sub, pos = _sub_geometry(geom, order_k)
         chunks_k, clo_k, chi_k = _pack_chunks(sub, pos)
         b_k, c_k, root_k, depth_k = _chunk_tree(clo_k, chi_k, chunk_base, node_base)
+        all_cb.append(np.concatenate([clo_k, chi_k], axis=1))
         all_chunks.append(chunks_k)
         bounds_parts.append(b_k)
         codes_parts.append(c_k)
@@ -330,6 +334,7 @@ def build_hier_soa_instanced(
     depth = tlas_depth + max(pack_depths) + 2  # +RESTORE and inst push margin
     return HierSoA(
         prim_chunks=jnp.asarray(prim_chunks),
+        chunk_bounds=jnp.asarray(np.concatenate(all_cb, axis=0)),
         bounds=jnp.asarray(bounds.reshape(-1)),
         codes=jnp.asarray(codes.reshape(-1)),
         order=jnp.asarray(order_slots),

@@ -1,0 +1,52 @@
+"""Binned wavefront traversal (ops/binned_trace.py) against the linear
+oracle — same contract as the packet kernels (prim ids, findFar), but
+per-ray culling (docs/TRAVERSAL_PLAN.md prototype)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from echorenderer_tpu.ops import binned_trace as bt
+from echorenderer_tpu.ops import pallas_hier as ph
+from echorenderer_tpu.ops.intersect import intersect_linear
+from tests.test_pallas_hier import _geometry, _hier, _rays
+
+
+@pytest.mark.parametrize(
+    "num_tris,num_spheres",
+    [(500, 100), (600, 0), (0, 600)],
+    ids=["mixed", "tris-only", "spheres-only"],
+)
+def test_binned_matches_linear(num_tris, num_spheres):
+    geom = _geometry(num_tris, num_spheres)
+    soa = _hier(geom)
+    o, d = _rays(256)
+    ig = jnp.full((256,), -1, jnp.int32)
+    h = bt.trace_binned(geom, soa, o, d, jnp.inf, ig, rounds=8, k=4)
+    r = intersect_linear(geom, o, d, jnp.inf, ig)
+    np.testing.assert_array_equal(np.asarray(h.prim), np.asarray(r.prim))
+    both = np.asarray(h.prim) >= 0
+    np.testing.assert_allclose(np.asarray(h.t)[both], np.asarray(r.t)[both], rtol=1e-4)
+    tri = both & (np.asarray(h.prim) < num_tris)
+    np.testing.assert_allclose(np.asarray(h.uv)[tri], np.asarray(r.uv)[tri], atol=1e-4)
+
+
+def test_binned_ignore_and_findfar():
+    geom = _geometry(500, 100, seed=3)
+    soa = _hier(geom, seed=4)
+    o, d = _rays(128, seed=5)
+    ig0 = jnp.full((128,), -1, jnp.int32)
+    first = bt.trace_binned(geom, soa, o, d, jnp.inf, ig0)
+    second = bt.trace_binned(geom, soa, o, d, jnp.inf, jnp.maximum(first.prim, 0))
+    tri_again = (second.prim == first.prim) & (first.prim >= 0) & (first.prim < 500)
+    assert not bool(np.asarray(tri_again).any())
+
+    # findFar: from sphere centers, ignoring the sphere, exit at t == radius
+    centers = np.asarray(geom.sph_center)[:64]
+    radii = np.asarray(geom.sph_radius)[:64]
+    d2 = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32), (64, 1))
+    ig = jnp.asarray(500 + np.arange(64), jnp.int32)
+    h = bt.trace_binned(geom, soa, jnp.asarray(centers), d2, jnp.inf, ig)
+    own = np.asarray(h.prim) == (500 + np.arange(64))
+    np.testing.assert_allclose(np.asarray(h.t)[own], radii[own], rtol=1e-4)
+    assert own.mean() > 0.5
