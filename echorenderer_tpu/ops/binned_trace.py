@@ -27,18 +27,21 @@ everything else.
 
 STATUS (end of round 2): correct — exact prim agreement with the packet
 walk and the linear oracle, findFar/ignore semantics included — but not
-yet faster: 0.06-0.13 Mrays/s on 128k random rays at 250k tris vs the
-packet walk's 0.17. Two measured gaps to close before this wins:
-  1. Straggler rounds run at full fixed cost: every round re-runs the
-     whole padded row grid even when <1% of rays still have work. Needs
-     per-round ray compaction (gather survivors into a shrinking dense
-     array with a few static capacity tiers).
-  2. The row kernel serializes ~8 chunk-DMA waits per block (~50 us per
-     1024-pair block). Needs the double buffer to pipeline ACROSS grid
-     blocks (prefetch the next block's first chunks during this block's
-     tail), or the chunk fetch moved to a prefetch-driven index map with
-     8-row chunk groups.
-Both are mechanical; the driver math (lex frontier, gather-only packing)
+yet faster: ~0.08 Mrays/s on 128k random rays at 250k tris vs the packet
+walk's 0.17. What was measured and already fixed: TPU scatters in the
+packing (rewritten gather-only), double eligibility scans (selection now
+carried across rounds), dead kernel rows (per-sub-row occupancy gates).
+What remains, in measured order:
+  1. The (N, C) slab scan costs ~30 ms per round at 128k x 968 — it is
+     HBM-bandwidth on the (N, C) intermediates, and straggler rays force
+     ~8+ full-size rounds. Fix: two-level selection — slab against ~C/16
+     superchunk AABBs first, then refine only each ray's surviving
+     superchunks via small gathers; plus per-round survivor compaction so
+     late rounds run at a fraction of N.
+  2. The row kernel serializes ~8 chunk-DMA waits per block. Fix:
+     pipeline the double buffer ACROSS grid blocks, or chunk-group rows
+     so a prefetch-driven index map can stream them.
+The driver math (lex frontier, gather-only packing, near-to-far rounds)
 is the hard part and is tested. See docs/TRAVERSAL_PLAN.md.
 """
 
@@ -81,42 +84,59 @@ def _row_kernel(cids_ref, ox, oy, oz, dx, dy, dz, tmax, ign, prim_hbm,
             sem0 if buf == 0 else sem1,
         ).wait()
 
-    start(0, 0)
+    # per-sub-row occupancy: rows holding only padding (tmax <= 0) skip
+    # their DMA and intersection outright — straggler rounds, where most
+    # of the padded row grid is empty, cost microseconds per block instead
+    # of the full chunk-stream price
+    alive = [jnp.any(tmax[0, s : s + 1, :] > 0.0) for s in range(8)]
+
+    # defaults first (every output slot must be written)
+    t_out[:] = tmax[:]
+    p_out[:] = jnp.full_like(tmax[:], -1.0)
+    u_out[:] = jnp.zeros_like(tmax[:])
+    v_out[:] = jnp.zeros_like(tmax[:])
+
+    pl.when(alive[0])(lambda: start(0, 0))
     for s in range(8):
         buf = s % 2
         if s + 1 < 8:
-            start(s + 1, 1 - buf)
-        wait(s, buf)
-        rows = pscratch[buf]  # (16, HCHUNK)
-        row = lambda r: r[s : s + 1, :]  # (1, 128) sub-row
-        best_t = row(tmax[0])
-        best_p = jnp.full_like(best_t, -1.0)
-        best_u = jnp.zeros_like(best_t)
-        best_v = jnp.zeros_like(best_t)
-        for sub in range(HCHUNK // 128):
-            blk = [rows[k : k + 1, sub * 128 : (sub + 1) * 128] for k in range(10)]
-            k_base = (cids_ref[i * 8 + s] * HCHUNK + sub * 128).astype(jnp.float32)
-            t, u, v, pid = _chunk_hits(
-                blk, k_base,
-                row(ox[0]), row(oy[0]), row(oz[0]),
-                row(dx[0]), row(dy[0]), row(dz[0]), row(ign[0]),
-                has_tri, has_sph,
+            pl.when(alive[s + 1])(
+                lambda s=s, buf=buf: start(s + 1, 1 - buf)
             )
-            tm = jnp.min(t, axis=0, keepdims=True)
-            sel = t <= tm
-            pm = jnp.min(jnp.where(sel, pid, _INF), axis=0, keepdims=True)
-            sel2 = sel & (pid == pm)
-            um = jnp.sum(jnp.where(sel2, u, 0.0), axis=0, keepdims=True)
-            vm = jnp.sum(jnp.where(sel2, v, 0.0), axis=0, keepdims=True)
-            closer = tm < best_t
-            best_t = jnp.where(closer, tm, best_t)
-            best_p = jnp.where(closer, pm, best_p)
-            best_u = jnp.where(closer, um, best_u)
-            best_v = jnp.where(closer, vm, best_v)
-        t_out[0, s : s + 1, :] = best_t
-        p_out[0, s : s + 1, :] = best_p
-        u_out[0, s : s + 1, :] = best_u
-        v_out[0, s : s + 1, :] = best_v
+
+        @pl.when(alive[s])
+        def _(s=s, buf=buf):
+            wait(s, buf)
+            rows = pscratch[buf]  # (16, HCHUNK)
+            row = lambda r: r[s : s + 1, :]  # (1, 128) sub-row
+            best_t = row(tmax[0])
+            best_p = jnp.full_like(best_t, -1.0)
+            best_u = jnp.zeros_like(best_t)
+            best_v = jnp.zeros_like(best_t)
+            for sub in range(HCHUNK // 128):
+                blk = [rows[k : k + 1, sub * 128 : (sub + 1) * 128] for k in range(10)]
+                k_base = (cids_ref[i * 8 + s] * HCHUNK + sub * 128).astype(jnp.float32)
+                t, u, v, pid = _chunk_hits(
+                    blk, k_base,
+                    row(ox[0]), row(oy[0]), row(oz[0]),
+                    row(dx[0]), row(dy[0]), row(dz[0]), row(ign[0]),
+                    has_tri, has_sph,
+                )
+                tm = jnp.min(t, axis=0, keepdims=True)
+                sel = t <= tm
+                pm = jnp.min(jnp.where(sel, pid, _INF), axis=0, keepdims=True)
+                sel2 = sel & (pid == pm)
+                um = jnp.sum(jnp.where(sel2, u, 0.0), axis=0, keepdims=True)
+                vm = jnp.sum(jnp.where(sel2, v, 0.0), axis=0, keepdims=True)
+                closer = tm < best_t
+                best_t = jnp.where(closer, tm, best_t)
+                best_p = jnp.where(closer, pm, best_p)
+                best_u = jnp.where(closer, um, best_u)
+                best_v = jnp.where(closer, vm, best_v)
+            t_out[0, s : s + 1, :] = best_t
+            p_out[0, s : s + 1, :] = best_p
+            u_out[0, s : s + 1, :] = best_u
+            v_out[0, s : s + 1, :] = best_v
 
 
 @functools.partial(jax.jit, static_argnames=("has_tri", "has_sph"))
@@ -189,22 +209,21 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         rounds=jnp.zeros((), jnp.int32),
     )
 
-    def eligible(st):
-        tn = _slab_all(o, d, cb, st["best_t"])  # (N, C)
-        elig = (tn < _INF) & (
-            (tn > st["f_t"][:, None])
-            | ((tn == st["f_t"][:, None]) & (iota_c[None] > st["f_c"][:, None]))
+    def select(best_t, f_t, f_c):
+        """ONE (N, C) scan + k argmin passes: each ray's k nearest
+        unvisited chunks (argmin's first-occurrence tie-break IS the
+        (t, chunk) lex order). This is the round's bandwidth cost, so the
+        result is carried: computed at the END of each round for the next."""
+        tn = _slab_all(o, d, cb, best_t)
+        tn_m = jnp.where(
+            (tn < _INF)
+            & (
+                (tn > f_t[:, None])
+                | ((tn == f_t[:, None]) & (iota_c[None] > f_c[:, None]))
+            ),
+            tn,
+            _INF,
         )
-        return jnp.where(elig, tn, _INF)
-
-    def cond(st):
-        return (st["rounds"] < rounds) & jnp.any(eligible(st) < _INF)
-
-    def body(st):
-        tn_m = eligible(st)
-
-        # K nearest eligible chunks per ray (argmin + mask, k passes);
-        # argmin's first-occurrence tie-break IS the (t, chunk) lex order
         sel_c, sel_t = [], []
         for _k in range(k):
             idx = jnp.argmin(tn_m, axis=1).astype(jnp.int32)
@@ -212,8 +231,17 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             sel_c.append(jnp.where(tv < _INF, idx, -1))
             sel_t.append(tv)
             tn_m = jnp.where(iota_c[None] == idx[:, None], _INF, tn_m)
-        sel_c = jnp.stack(sel_c, 1)  # (N, K)
-        sel_t = jnp.stack(sel_t, 1)
+        return jnp.stack(sel_c, 1), jnp.stack(sel_t, 1)  # (N, K) each
+
+    state["sel_c"], state["sel_t"] = select(
+        state["best_t"], state["f_t"], state["f_c"]
+    )
+
+    def cond(st):
+        return (st["rounds"] < rounds) & jnp.any(st["sel_c"] >= 0)
+
+    def body(st):
+        sel_c, sel_t = st["sel_c"], st["sel_t"]
 
         # advance the frontier past everything selected this round
         any_sel = sel_t < _INF
@@ -296,14 +324,18 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         rv = jnp.max(jnp.where(match, pv, -_INF), axis=1)
 
         better = rt < st["best_t"]  # strict: an earlier equal hit stays
+        new_best_t = jnp.where(better, rt, st["best_t"])
+        next_c, next_t = select(new_best_t, f_t, f_c)
         return dict(
-            best_t=jnp.where(better, rt, st["best_t"]),
+            best_t=new_best_t,
             best_p=jnp.where(better, rp, st["best_p"]),
             best_u=jnp.where(better, ru, st["best_u"]),
             best_v=jnp.where(better, rv, st["best_v"]),
             f_t=f_t,
             f_c=f_c,
             rounds=st["rounds"] + 1,
+            sel_c=next_c,
+            sel_t=next_t,
         )
 
     st = jax.lax.while_loop(cond, body, state)
