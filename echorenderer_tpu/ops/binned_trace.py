@@ -25,24 +25,22 @@ The near-to-far rounds give per-ray early termination (the packet kernels
 only get it packet-wide): after round 1 most rays' best-t excludes
 everything else.
 
-STATUS (end of round 2): correct — exact prim agreement with the packet
-walk and the linear oracle, findFar/ignore semantics included — but not
-yet faster: ~0.08 Mrays/s on 128k random rays at 250k tris vs the packet
-walk's 0.17. What was measured and already fixed: TPU scatters in the
-packing (rewritten gather-only), double eligibility scans (selection now
-carried across rounds), dead kernel rows (per-sub-row occupancy gates).
-What remains, in measured order:
-  1. The (N, C) slab scan costs ~30 ms per round at 128k x 968 — it is
-     HBM-bandwidth on the (N, C) intermediates, and straggler rays force
-     ~8+ full-size rounds. Fix: two-level selection — slab against ~C/16
-     superchunk AABBs first, then refine only each ray's surviving
-     superchunks via small gathers; plus per-round survivor compaction so
-     late rounds run at a fraction of N.
-  2. The row kernel serializes ~8 chunk-DMA waits per block. Fix:
-     pipeline the double buffer ACROSS grid blocks, or chunk-group rows
-     so a prefetch-driven index map can stream them.
-The driver math (lex frontier, gather-only packing, near-to-far rounds)
-is the hard part and is tested. See docs/TRAVERSAL_PLAN.md.
+STATUS (end of round 2): CORRECT and converging in ~8 rounds — exact
+prim agreement with the packet walk and the linear oracle on every test
+(multi-super scenes, findFar, ignore) — but not yet faster: ~2.6 s warm
+for 128k random rays at 250k tris (0.05 Mrays/s) vs the packet walk's
+0.17. The selection side is done: two-level ranking by per-(ray, super)
+ADVANCING lower bounds (min remaining eligible chunk entry; rotates
+consumed supers out of the gather slots — ranking by the static box entry
+livelocks, as does clamping entry distances to 0, which ties every
+origin-enclosing chunk), guard-capped lex frontier with STRICT tie
+handling, gather-only packing, carried selections, per-sub-row occupancy
+gates. The remaining wall is the row kernel: ~300 ms per round at ~5k
+rows => ~470 us per 8-row block, vastly above the ~30 us of DMA+compute
+it should cost. Round 3: xprof ONE kernel invocation to find the stall
+(suspects: per-sub-row DMA waits not overlapping, dynamic pscratch[buf]
+indexing forcing copies, grid pipeline flushes), then cross-block DMA
+pipelining and survivor compaction. See docs/TRAVERSAL_PLAN.md.
 """
 
 from __future__ import annotations
@@ -61,6 +59,8 @@ from .pallas_intersect import _chunk_hits, _interpret
 
 _INF = 3.4e38
 ROW = 128  # rays per kernel row (one chunk per row)
+SUP = 16  # chunks per superchunk (two-level selection)
+KSUP = 4  # superchunks gathered per ray per round
 
 
 def _row_kernel(cids_ref, ox, oy, oz, dx, dy, dz, tmax, ign, prim_hbm,
@@ -180,7 +180,10 @@ def _slab_all(o, d, cb, limit):
     tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
     tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
     ok = (tn <= tf) & (tf > 0.0) & (tn < limit[:, None])
-    return jnp.where(ok, jnp.maximum(tn, 0.0), _INF)
+    # RAW entry distance (can be negative when the origin is inside the
+    # box): clamping to 0 made every origin-enclosing chunk tie at
+    # exactly 0.0 and the tie-safe frontier could then never advance
+    return jnp.where(ok, tn, _INF)
 
 
 @functools.partial(
@@ -197,44 +200,132 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     r_max = -(-(-(-m // ROW) + c + 1) // 8) * 8
 
     best_t0 = jnp.minimum(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)), _INF)
+
+    # ---- two-level chunk selection tables (computed once per trace):
+    # supers of SUP consecutive chunks (BVH-leaf order => spatially tight)
+    s_count = -(-c // SUP)
+    c_pad = s_count * SUP
+    cb_pad = jnp.concatenate(
+        [
+            cb,
+            jnp.tile(
+                jnp.asarray([[_INF, _INF, _INF, -_INF, -_INF, -_INF]], jnp.float32),
+                (c_pad - c, 1),
+            ),
+        ],
+        axis=0,
+    )
+    sup_lo = cb_pad[:, 0:3].reshape(s_count, SUP, 3).min(axis=1)
+    sup_hi = cb_pad[:, 3:6].reshape(s_count, SUP, 3).max(axis=1)
+    sup_cb = jnp.concatenate([sup_lo, sup_hi], axis=1)  # (S, 6)
+    iota_s = jnp.arange(s_count, dtype=jnp.int32)
+    iota_sup = jnp.arange(SUP, dtype=jnp.int32)
+
+    def lex_gt(t_a, c_a, t_b, c_b):
+        return (t_a > t_b) | ((t_a == t_b) & (c_a > c_b))
+
+    def select(best_t, f_t, f_c, next_lb):
+        """Each ray's k nearest unvisited chunks through the super level.
+
+        `next_lb` (N, S) is each super's ADVANCING lower bound on its
+        remaining eligible chunks' entry distance: initialized to the
+        super-box slab entry and, once a super is examined, tightened to
+        the min eligible chunk tn that survived the round (INF when
+        consumed). Ranking + guard use it, so consumed-near supers rotate
+        out of the gather slots instead of stalling the frontier — the
+        failure mode of ranking by the static box entry."""
+        keyed = jnp.where(next_lb < best_t[:, None], next_lb, _INF)  # (N, S)
+        sup_sel, sup_t = [], []
+        tn_sm = keyed
+        for _j in range(KSUP):
+            sidx = jnp.argmin(tn_sm, axis=1).astype(jnp.int32)
+            sv = jnp.take_along_axis(tn_sm, sidx[:, None], axis=1)[:, 0]
+            sup_sel.append(sidx)
+            sup_t.append(sv)
+            tn_sm = jnp.where(iota_s[None] == sidx[:, None], _INF, tn_sm)
+        guard = jnp.min(tn_sm, axis=1)  # nearest un-gathered super's bound
+        sup_sel = jnp.stack(sup_sel, 1)  # (N, KSUP)
+        sup_ok = jnp.stack(sup_t, 1) < _INF
+
+        glob = (sup_sel[:, :, None] * SUP + iota_sup[None, None, :]).reshape(
+            n, KSUP * SUP
+        )  # (N, G) global chunk ids (pad chunks give INF below)
+        g_cb = cb_pad[glob]  # (N, G, 6)
+        inv = jnp.where(
+            jnp.abs(d) < 1e-12, 1e12 * jnp.where(d < 0, -1.0, 1.0), 1.0 / d
+        )
+        t0 = (g_cb[:, :, 0:3] - o[:, None]) * inv[:, None]
+        t1 = (g_cb[:, :, 3:6] - o[:, None]) * inv[:, None]
+        tn_c = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf_c = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        ok = (tn_c <= tf_c) & (tf_c > 0.0) & (tn_c < best_t[:, None])
+        tn_c = jnp.where(ok, tn_c, _INF)  # raw entry; see _slab_all
+        elig = (
+            (tn_c < _INF)
+            & lex_gt(tn_c, glob, f_t[:, None], f_c[:, None])
+            & jnp.repeat(sup_ok, SUP, axis=1)
+        )
+        tn_m = jnp.where(elig, tn_c, _INF)
+
+        # k nearest by strict (t, chunk-id) lex order: argmin on t, then
+        # the smallest global id among the tied entries
+        sel_c, sel_t = [], []
+        for _k in range(k):
+            tmin = jnp.min(tn_m, axis=1)
+            gmin = jnp.min(
+                jnp.where(tn_m == tmin[:, None], glob, jnp.int32(2**30)), axis=1
+            )
+            pick = (tn_m == tmin[:, None]) & (glob == gmin[:, None])
+            sel_c.append(jnp.where(tmin < _INF, gmin, -1))
+            sel_t.append(tmin)
+            tn_m = jnp.where(pick, _INF, tn_m)
+        sel_c = jnp.stack(sel_c, 1)  # (N, K)
+        sel_t = jnp.stack(sel_t, 1)
+
+        # post-round frontier: lex-min of (k-th selection, guard), made
+        # monotone against the incoming frontier.
+        # STRICT lt < guard: an un-gathered chunk can share tn == guard
+        # with a smaller id than the k-th pick — (guard, -1) keeps it
+        # eligible (re-intersecting already-selected ties is idempotent)
+        any_sel = sel_t < _INF
+        lt = jnp.max(jnp.where(any_sel, sel_t, -_INF), axis=1)
+        lc = jnp.max(
+            jnp.where((sel_t == lt[:, None]) & any_sel, sel_c, -1), axis=1
+        )
+        has = jnp.any(any_sel, axis=1)
+        cand_t = jnp.where(has & (lt < guard), lt, guard)
+        cand_c = jnp.where(has & (lt < guard), lc, -1)
+        adv = lex_gt(cand_t, cand_c, f_t, f_c)
+        nf_t = jnp.where(adv, cand_t, f_t)
+        nf_c = jnp.where(adv, cand_c, f_c)
+
+        # tighten the examined supers' bounds: min chunk tn still eligible
+        # AFTER this round's frontier (INF = consumed; eligibility only
+        # shrinks, so the tightened bound stays valid forever)
+        still = elig & lex_gt(tn_c, glob, nf_t[:, None], nf_c[:, None])
+        rem_lb = jnp.min(
+            jnp.where(still, tn_c, _INF).reshape(n, KSUP, SUP), axis=2
+        )  # (N, KSUP)
+        upd = (iota_s[None, None, :] == sup_sel[:, :, None]) & sup_ok[:, :, None]
+        next_new = jnp.where(
+            jnp.any(upd, axis=1),
+            jnp.sum(jnp.where(upd, rem_lb[:, :, None], 0.0), axis=1),
+            next_lb,
+        )
+        return sel_c, sel_t, nf_t, nf_c, next_new
+
     state = dict(
         best_t=best_t0,
         best_p=jnp.full((n,), -1.0),
         best_u=jnp.zeros((n,)),
         best_v=jnp.zeros((n,)),
-        # lexicographic (entry t, chunk id) frontier: everything at or
-        # below it has been visited
-        f_t=jnp.full((n,), -1.0),
-        f_c=jnp.full((n,), -1, jnp.int32),
         rounds=jnp.zeros((), jnp.int32),
+        lb=_slab_all(o, d, sup_cb, jnp.full((n,), _INF)),  # (N, S)
     )
-
-    def select(best_t, f_t, f_c):
-        """ONE (N, C) scan + k argmin passes: each ray's k nearest
-        unvisited chunks (argmin's first-occurrence tie-break IS the
-        (t, chunk) lex order). This is the round's bandwidth cost, so the
-        result is carried: computed at the END of each round for the next."""
-        tn = _slab_all(o, d, cb, best_t)
-        tn_m = jnp.where(
-            (tn < _INF)
-            & (
-                (tn > f_t[:, None])
-                | ((tn == f_t[:, None]) & (iota_c[None] > f_c[:, None]))
-            ),
-            tn,
-            _INF,
-        )
-        sel_c, sel_t = [], []
-        for _k in range(k):
-            idx = jnp.argmin(tn_m, axis=1).astype(jnp.int32)
-            tv = jnp.take_along_axis(tn_m, idx[:, None], axis=1)[:, 0]
-            sel_c.append(jnp.where(tv < _INF, idx, -1))
-            sel_t.append(tv)
-            tn_m = jnp.where(iota_c[None] == idx[:, None], _INF, tn_m)
-        return jnp.stack(sel_c, 1), jnp.stack(sel_t, 1)  # (N, K) each
-
-    state["sel_c"], state["sel_t"] = select(
-        state["best_t"], state["f_t"], state["f_c"]
+    (state["sel_c"], state["sel_t"], state["f_t"], state["f_c"],
+     state["lb"]) = select(
+        best_t0, jnp.full((n,), -_INF), jnp.full((n,), -1, jnp.int32),
+        state["lb"],
     )
 
     def cond(st):
@@ -242,14 +333,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
 
     def body(st):
         sel_c, sel_t = st["sel_c"], st["sel_t"]
-
-        # advance the frontier past everything selected this round
-        any_sel = sel_t < _INF
-        last = jnp.max(jnp.where(any_sel, sel_t, -_INF), axis=1)
-        last_c = jnp.max(jnp.where((sel_t == last[:, None]) & any_sel, sel_c, -1), axis=1)
-        has_any = jnp.any(any_sel, 1)
-        f_t = jnp.where(has_any, last, st["f_t"])
-        f_c = jnp.where(has_any, last_c, st["f_c"])
+        f_t, f_c = st["f_t"], st["f_c"]  # already post-round (see select)
 
         # ---- pack valid (ray, chunk) pairs into chunk-pure 128-lane rows.
         # Everything below is gathers + sorts + prefix sums — TPU scatters
@@ -325,17 +409,18 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
 
         better = rt < st["best_t"]  # strict: an earlier equal hit stays
         new_best_t = jnp.where(better, rt, st["best_t"])
-        next_c, next_t = select(new_best_t, f_t, f_c)
+        next_c, next_t, nf_t, nf_c, lb = select(new_best_t, f_t, f_c, st["lb"])
         return dict(
             best_t=new_best_t,
             best_p=jnp.where(better, rp, st["best_p"]),
             best_u=jnp.where(better, ru, st["best_u"]),
             best_v=jnp.where(better, rv, st["best_v"]),
-            f_t=f_t,
-            f_c=f_c,
+            f_t=nf_t,
+            f_c=nf_c,
             rounds=st["rounds"] + 1,
             sel_c=next_c,
             sel_t=next_t,
+            lb=lb,
         )
 
     st = jax.lax.while_loop(cond, body, state)

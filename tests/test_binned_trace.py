@@ -50,3 +50,18 @@ def test_binned_ignore_and_findfar():
     own = np.asarray(h.prim) == (500 + np.arange(64))
     np.testing.assert_allclose(np.asarray(h.t)[own], radii[own], rtol=1e-4)
     assert own.mean() > 0.5
+
+
+def test_binned_multi_super_level():
+    """Enough chunks for several superchunks (two-level selection paths:
+    guard-capped frontier, exhausted-super marking)."""
+    geom = _geometry(20000, 500, seed=31)
+    soa = _hier(geom, seed=32)
+    assert soa.num_chunks > bt.SUP * 3  # multiple supers
+    o, d = _rays(128, seed=33)
+    ig = jnp.full((128,), -1, jnp.int32)
+    h = bt.trace_binned(geom, soa, o, d, jnp.inf, ig, rounds=64, k=4)
+    r = intersect_linear(geom, o, d, jnp.inf, ig)
+    np.testing.assert_array_equal(np.asarray(h.prim), np.asarray(r.prim))
+    both = np.asarray(h.prim) >= 0
+    np.testing.assert_allclose(np.asarray(h.t)[both], np.asarray(r.t)[both], rtol=1e-4)
