@@ -35,12 +35,17 @@ consumed supers out of the gather slots — ranking by the static box entry
 livelocks, as does clamping entry distances to 0, which ties every
 origin-enclosing chunk), guard-capped lex frontier with STRICT tie
 handling, gather-only packing, carried selections, per-sub-row occupancy
-gates. The remaining wall is the row kernel: ~300 ms per round at ~5k
-rows => ~470 us per 8-row block, vastly above the ~30 us of DMA+compute
-it should cost. Round 3: xprof ONE kernel invocation to find the stall
-(suspects: per-sub-row DMA waits not overlapping, dynamic pscratch[buf]
-indexing forcing copies, grid pipeline flushes), then cross-block DMA
-pipelining and survivor compaction. See docs/TRAVERSAL_PLAN.md.
+gates. xprof (trace at /tmp/xp_b2, HLO fusion map in git log) shows the row
+KERNEL is cheap — the wall is the XLA driver's random gathers: packing
+the kernel columns costs 8 gathers of 650k slots at ~14 ms each per
+round (fusion.277/281: TPU element gathers run ~200 MB/s), plus
+(131072, 1)-shaped reduction fusions with pathological T(1,128) layouts
+(fusion.274/278, ~17 ms each). The super-bounds refinement was already
+moved to a one-hot MXU lookup (no change — it was never the bottleneck).
+Round 3: move the PACKING into a Pallas pass (the sorted pair index is
+already computed; a kernel can DMA ray records into rows instead of XLA
+element-gathering them), keep sorts/prefix-sums in XLA, and compact
+survivors between rounds. See docs/TRAVERSAL_PLAN.md.
 """
 
 from __future__ import annotations
@@ -218,6 +223,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     sup_lo = cb_pad[:, 0:3].reshape(s_count, SUP, 3).min(axis=1)
     sup_hi = cb_pad[:, 3:6].reshape(s_count, SUP, 3).max(axis=1)
     sup_cb = jnp.concatenate([sup_lo, sup_hi], axis=1)  # (S, 6)
+    sup_table = cb_pad.reshape(s_count, SUP * 6)  # per-super chunk bounds
     iota_s = jnp.arange(s_count, dtype=jnp.int32)
     iota_sup = jnp.arange(SUP, dtype=jnp.int32)
 
@@ -250,7 +256,14 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         glob = (sup_sel[:, :, None] * SUP + iota_sup[None, None, :]).reshape(
             n, KSUP * SUP
         )  # (N, G) global chunk ids (pad chunks give INF below)
-        g_cb = cb_pad[glob]  # (N, G, 6)
+        # fetch the examined supers' chunk bounds via a one-hot MXU lookup:
+        # a per-ray row gather here runs at ~1-2 GiB/s and was measured as
+        # ~90% of the round (utils/vec.py:small_table_lookup rationale)
+        from ..utils.vec import small_table_lookup
+
+        g_cb = small_table_lookup(
+            sup_table, sup_sel.reshape(-1)
+        ).reshape(n, KSUP * SUP, 6)
         inv = jnp.where(
             jnp.abs(d) < 1e-12, 1e12 * jnp.where(d < 0, -1.0, 1.0), 1.0 / d
         )
