@@ -58,20 +58,24 @@ def instanced_forest():
 
 
 def main():
+    # per-scene budgets keep every device program well under the ~60 s
+    # TPU-worker limit (the instanced forest traces the TLAS kernel, which
+    # is far slower per sample than the megakernel scenes)
     jobs = [
-        ("cornell_box", lambda: scenes.cornell_box(), 640, 480),
-        ("material_ball", lambda: scenes.material_ball(), 640, 400),
-        ("instanced_forest", instanced_forest, 640, 400),
+        ("cornell_box", lambda: scenes.cornell_box(), 640, 480, 32, 8, 8),
+        ("material_ball", lambda: scenes.material_ball(), 640, 400, 32, 8, 8),
+        ("instanced_forest", instanced_forest, 480, 300, 4, 6, 4),
     ]
-    for name, make, w, h in jobs:
+    for name, make, w, h, spe, max_epoch, bounces in jobs:
         t0 = time.perf_counter()
         prepared = prepare_scene(make())
         prof = RenderProfile(
             resolution=(w, h),
             evaluations=(
                 EvaluationProfile(
-                    evaluator="path", samples_per_epoch=32, min_epoch=2,
-                    max_epoch=8, noise_threshold=0.08, bounce_limit=8,
+                    evaluator="path", samples_per_epoch=spe, min_epoch=2,
+                    max_epoch=max_epoch, noise_threshold=0.08,
+                    bounce_limit=bounces,
                 ),
                 EvaluationProfile(evaluator="albedo", layer_name="albedo"),
                 EvaluationProfile(evaluator="normal_depth", layer_name="normal_depth"),
