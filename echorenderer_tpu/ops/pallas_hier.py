@@ -160,12 +160,13 @@ def _chunk_tree(clo: np.ndarray, chi: np.ndarray, chunk_base: int,
     if n == 1:
         return (np.zeros((0, 2, 6), np.float32), np.zeros((0, 2), np.int32),
                 -(1 + chunk_base), 1)
-    tree = build_bvh(clo, chi, leaf_max=1)
-    child_min = np.asarray(tree.child_min)
-    child_max = np.asarray(tree.child_max)
-    child_code = np.asarray(tree.child_code).copy()
-    chunk_order = np.asarray(tree.prim_order)
-    root = int(tree.root_code)
+    host: dict = {}
+    build_bvh(clo, chi, leaf_max=1, host_out=host)
+    child_min = host["child_min"]
+    child_max = host["child_max"]
+    child_code = host["child_code"].copy()
+    chunk_order = host["prim_order"]
+    root = int(host["root_code"])
     assert root >= 0
 
     leaf = child_code < 0
@@ -257,20 +258,21 @@ def build_hier_soa_instanced(
     # trees first with a placeholder base, then offset once n_tlas is known
     # — instead, build TLAS first (it only needs instance AABBs).
     if n_inst >= 2:
-        tlas = build_bvh(
+        tlas_host: dict = {}
+        build_bvh(
             np.asarray(inst_lo, np.float32), np.asarray(inst_hi, np.float32),
-            leaf_max=1,
+            leaf_max=1, host_out=tlas_host,
         )
-        t_min = np.asarray(tlas.child_min)
-        t_max = np.asarray(tlas.child_max)
-        t_code = np.asarray(tlas.child_code).copy()
-        t_order = np.asarray(tlas.prim_order)
+        t_min = tlas_host["child_min"]
+        t_max = tlas_host["child_max"]
+        t_code = tlas_host["child_code"].copy()
+        t_order = tlas_host["prim_order"]
         leaf = t_code < 0
         start = (-(t_code + 1)) >> 4
         t_code[leaf] = -(1 + INST_BASE + t_order[start[leaf]])
         tlas_bounds = np.concatenate([t_min, t_max], axis=2).astype(np.float32)
         tlas_codes = t_code
-        root = int(tlas.root_code)
+        root = int(tlas_host["root_code"])
         assert root >= 0
         n_tlas = tlas_bounds.shape[0]
         tlas_depth = _offset_tree_depth(tlas_codes, root, 0)

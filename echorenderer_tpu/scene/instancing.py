@@ -531,8 +531,9 @@ def prepare_scene_instanced(
             pack_orders.append(None)
             pack_aabb.append((np.zeros(3), np.zeros(3)))
             continue
-        sub_tree = build_bvh(bmin[ids], bmax[ids])
-        pack_orders.append(ids[np.asarray(sub_tree.prim_order)])
+        sub_host: dict = {}
+        build_bvh(bmin[ids], bmax[ids], host_out=sub_host)
+        pack_orders.append(ids[sub_host["prim_order"]])
         pack_aabb.append((bmin[ids].min(0), bmax[ids].max(0)))
 
     # map block index -> traversal pack index (skipping empty blocks)

@@ -640,9 +640,10 @@ def prepare_scene(
         focal_distance=jnp.asarray(packed["focal_distance"]),
     )
 
-    # --- BVH ---
+    # --- BVH --- (host_out avoids ~15 s/array device readbacks below)
     bmin, bmax = geometry_bounds(geom_np)
-    bvh = build_bvh(bmin, bmax)
+    bvh_host: dict = {}
+    bvh = build_bvh(bmin, bmax, host_out=bvh_host)
 
     geometry = FlatGeometry(**{k: jnp.asarray(v) for k, v in geom_np.items()})
     # host-side twin for the kernel-layout builders: reading the device
@@ -724,12 +725,12 @@ def prepare_scene(
         tex_atlas=jnp.asarray(tex_atlas),
         # kernel prim layout in BVH-leaf order: spatially tight chunks for
         # the packet-culling AABB test
-        prim_soa=build_prim_soa(geom_host, order=np.asarray(bvh.prim_order)),
+        prim_soa=build_prim_soa(geom_host, order=bvh_host["prim_order"]),
         shade_pack=jnp.asarray(shade),
         mat_pack=jnp.asarray(mat_pack),
         emissive_pack=jnp.asarray(epack),
         hier_soa=(
-            build_hier_soa(geom_host, np.asarray(bvh.prim_order))
+            build_hier_soa(geom_host, bvh_host["prim_order"])
             if num_prims >= HIER_BUILD_MIN
             else None
         ),
