@@ -77,8 +77,8 @@ def build_scene(n_tris: int) -> Scene:
     return scene
 
 
-def main():
-    sizes = [int(float(a)) for a in sys.argv[1:]] or [38_000, 250_000, 1_000_000]
+def main(sizes=None):
+    sizes = sizes or [int(float(a)) for a in sys.argv[1:]] or [38_000, 250_000, 1_000_000]
     res = (320, 180)
     for n in sizes:
         scene = build_scene(n)
@@ -107,4 +107,5 @@ def main():
         )
 
 
-main()
+if __name__ == "__main__":
+    main()
