@@ -1,0 +1,50 @@
+"""Capture an xprof trace of one binned random-ray trace (250k tris) and
+print the op-level time breakdown. Run on TPU."""
+import os, sys, time
+
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+from trace_throughput import make_mesh
+from echorenderer_tpu.ops import pallas_hier as ph
+from echorenderer_tpu.ops import binned_trace as bt
+from echorenderer_tpu.aggregation.bvh import build_bvh, geometry_bounds
+
+
+def sync(x):
+    return float(jnp.sum(jnp.ravel(x)[:8]))
+
+
+def main():
+    n_rays = 2 ** 17
+    rs = np.random.RandomState(1)
+    k = 16
+    geom, t = make_mesh(k, 22)
+    bmin, bmax = geometry_bounds({k2: np.asarray(v) for k2, v in geom._asdict().items()})
+    bvh = build_bvh(bmin, bmax)
+    hier = ph.build_hier_soa(geom, np.asarray(bvh.prim_order))
+    ext = k * 2.5
+    o_r = jnp.asarray(np.stack([
+        rs.uniform(0, ext, n_rays), rs.uniform(0, 2.0, n_rays),
+        rs.uniform(0, ext, n_rays)], -1).astype(np.float32))
+    dd = rs.normal(size=(n_rays, 3)).astype(np.float32)
+    d_r = jnp.asarray(dd / np.linalg.norm(dd, axis=-1, keepdims=True))
+    ig = jnp.full((n_rays,), -1, jnp.int32)
+
+    run = lambda: bt.trace_binned(geom, hier, o_r, d_r, jnp.inf, ig)
+    sync(run().t)  # compile + warm
+    out_dir = "/tmp/xp_binned"
+    os.system(f"rm -rf {out_dir}")
+    with jax.profiler.trace(out_dir):
+        sync(run().t)
+    print("trace captured", flush=True)
+
+
+main()

@@ -1,51 +1,39 @@
 """Binned wavefront traversal: per-ray chunk selection + chunk-major
-row intersection (docs/TRAVERSAL_PLAN.md; prototype of the design that
-replaces packet traversal for incoherent rays).
+segment-row intersection (docs/TRAVERSAL_PLAN.md — the production design
+for incoherent rays, replacing packet traversal on large scenes).
 
-Every traversal kernel so far makes ONE cull decision per 1024-ray packet,
-which collapses when bounce rays diverge (0.16 Mrays/s at 250k tris). Here
-each ray culls independently and the *intersection* work is what gets
-batched:
+Every packet kernel makes ONE cull decision per 1024-ray block, which
+collapses when bounce rays diverge (0.16 Mrays/s at 250k tris). Here each
+ray culls independently and the *intersection* work is what gets batched:
 
-1. Every ray slab-tests every chunk AABB (a (N, C) broadcast the VPU eats:
-   ~20 flops/pair, C <= a few thousand chunks of 256 prims).
-2. Rounds in strict near-to-far order: each round selects each ray's K
-   nearest not-yet-visited chunks with entry distance below its current
-   best hit (a lexicographic (t_entry, chunk) frontier makes "visited"
-   a two-scalar comparison — no per-(ray, chunk) state).
-3. The selected (ray, chunk) pairs are sorted chunk-major and packed into
-   128-lane rows that each reference ONE chunk. A Pallas kernel walks the
-   rows; a scalar-prefetch-driven index map streams each row's chunk
-   (automatically pipelined by the grid), `_chunk_hits` does the math —
-   identical intersection/findFar semantics to every other path.
-4. Results scatter-min back per ray; rays whose remaining chunks start
-   beyond their best hit contribute no further pairs.
+1. Two-level selection: each ray ranks superchunks by an ADVANCING lower
+   bound on their remaining eligible chunks, refines the top KSUP supers'
+   chunk boxes (one-hot MXU lookup), and picks its K nearest not-yet
+   visited chunks below its current best hit. A lexicographic
+   (t_entry, chunk) frontier makes "visited" a two-scalar comparison.
+2. The (ray, chunk) pairs are sorted chunk-major in ONE multi-operand
+   `lax.sort` that carries the whole ray record as payload (measured
+   ~5 ms for 1M pairs x 10 operands — vs ~70 ms for the elementwise
+   gathers it replaces; see benchmarks/prim_costs.py).
+3. Sorted pairs reshape DIRECTLY into 128-lane kernel rows — no holes, no
+   dump rows, no searchsorted (which costs ~160 ms at 1M on TPU). A row
+   spans one or more chunk SEGMENTS; the Pallas kernel walks each row's
+   segments (scalar-prefetch table), DMA-ing each chunk once (cached
+   across consecutive rows) and masking lanes to their own segment.
+4. Results sort back by pair index (one 5-operand sort) and reduce
+   per-ray as (K, N) — K on sublanes so the reduction is lane-parallel
+   (the (N, 1)-shaped reductions of the previous design had pathological
+   T(1,128) layouts).
+5. Straggler compaction: after FULL_ROUNDS full-width rounds the
+   still-pending rays (typically a small fraction) are gathered into a
+   N/COMPACT_FRACTION-wide sub-problem that loops to completion, so late
+   rounds cost a fraction of the full width.
 
 The near-to-far rounds give per-ray early termination (the packet kernels
-only get it packet-wide): after round 1 most rays' best-t excludes
-everything else.
-
-STATUS (end of round 2): CORRECT and converging in ~8 rounds — exact
-prim agreement with the packet walk and the linear oracle on every test
-(multi-super scenes, findFar, ignore) — but not yet faster: ~2.6 s warm
-for 128k random rays at 250k tris (0.05 Mrays/s) vs the packet walk's
-0.17. The selection side is done: two-level ranking by per-(ray, super)
-ADVANCING lower bounds (min remaining eligible chunk entry; rotates
-consumed supers out of the gather slots — ranking by the static box entry
-livelocks, as does clamping entry distances to 0, which ties every
-origin-enclosing chunk), guard-capped lex frontier with STRICT tie
-handling, gather-only packing, carried selections, per-sub-row occupancy
-gates. xprof (trace at /tmp/xp_b2, HLO fusion map in git log) shows the row
-KERNEL is cheap — the wall is the XLA driver's random gathers: packing
-the kernel columns costs 8 gathers of 650k slots at ~14 ms each per
-round (fusion.277/281: TPU element gathers run ~200 MB/s), plus
-(131072, 1)-shaped reduction fusions with pathological T(1,128) layouts
-(fusion.274/278, ~17 ms each). The super-bounds refinement was already
-moved to a one-hot MXU lookup (no change — it was never the bottleneck).
-Round 3: move the PACKING into a Pallas pass (the sorted pair index is
-already computed; a kernel can DMA ray records into rows instead of XLA
-element-gathering them), keep sorts/prefix-sums in XLA, and compact
-survivors between rounds. See docs/TRAVERSAL_PLAN.md.
+only get it packet-wide). Intersection math is the shared `_chunk_hits`
+(identical findFar/ignore semantics and prim-id space as every other
+path). Reference equivalent: the per-ray ordered stack traversal of
+QuadBoundingVolumeHierarchy.cs:121-219.
 """
 
 from __future__ import annotations
@@ -63,104 +51,114 @@ from .pallas_hier import HCHUNK, HierSoA, _sorted_ignore
 from .pallas_intersect import _chunk_hits, _interpret
 
 _INF = 3.4e38
-ROW = 128  # rays per kernel row (one chunk per row)
+ROW = 128  # rays per kernel sub-row
 SUP = 16  # chunks per superchunk (two-level selection)
-KSUP = 4  # superchunks gathered per ray per round
+KSUP = 4  # superchunks refined per ray per round
+FULL_ROUNDS = 2  # full-width rounds before straggler compaction
+COMPACT_FRACTION = 4  # compact phase width = n / this
 
 
-def _row_kernel(cids_ref, ox, oy, oz, dx, dy, dz, tmax, ign, prim_hbm,
-                t_out, p_out, u_out, v_out, pscratch, sem0, sem1,
-                *, has_tri, has_sph):
-    """One block = 8 sub-rows of 128 rays; sub-row s intersects chunk
-    cids[i*8+s], double-buffer DMA'd so the next chunk flies while this
-    one computes."""
+# ---------------------------------------------------------------------------
+# Pallas segment-row kernel
+# ---------------------------------------------------------------------------
+
+
+def _seg_kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tmax, ign, seg, prim_hbm,
+                t_out, p_out, u_out, v_out, pscratch, cur, sem,
+                *, has_tri, has_sph, n_rows):
+    """One block = 8 sub-rows of 128 chunk-sorted pairs. Sub-row r spans
+    segments tbl[r] .. tbl[r] + tbl[n_rows + r] - 1; segment s intersects
+    chunk tbl[2*n_rows + s] against the lanes whose seg column == s. The
+    loaded chunk is cached in `cur` so a segment spanning many consecutive
+    rows DMAs its chunk once per block."""
     i = pl.program_id(0)
-
-    def start(s, buf):
-        cp = pltpu.make_async_copy(
-            prim_hbm.at[cids_ref[i * 8 + s]], pscratch.at[buf],
-            sem0 if buf == 0 else sem1,
-        )
-        cp.start()
-
-    def wait(s, buf):
-        pltpu.make_async_copy(
-            prim_hbm.at[cids_ref[i * 8 + s]], pscratch.at[buf],
-            sem0 if buf == 0 else sem1,
-        ).wait()
-
-    # per-sub-row occupancy: rows holding only padding (tmax <= 0) skip
-    # their DMA and intersection outright — straggler rounds, where most
-    # of the padded row grid is empty, cost microseconds per block instead
-    # of the full chunk-stream price
-    alive = [jnp.any(tmax[0, s : s + 1, :] > 0.0) for s in range(8)]
-
-    # defaults first (every output slot must be written)
+    # defaults: dead rows / unmasked lanes report (t=tmax, no prim)
     t_out[:] = tmax[:]
     p_out[:] = jnp.full_like(tmax[:], -1.0)
     u_out[:] = jnp.zeros_like(tmax[:])
     v_out[:] = jnp.zeros_like(tmax[:])
+    cur[0] = -1
+    for s8 in range(8):
+        r = i * 8 + s8
+        alive = jnp.any(tmax[0, s8 : s8 + 1, :] > 0.0)
 
-    pl.when(alive[0])(lambda: start(0, 0))
-    for s in range(8):
-        buf = s % 2
-        if s + 1 < 8:
-            pl.when(alive[s + 1])(
-                lambda s=s, buf=buf: start(s + 1, 1 - buf)
+        @pl.when(alive)
+        def _(s8=s8, r=r):
+            row = lambda a: a[0, s8 : s8 + 1, :]
+            sfirst = tbl_ref[r]
+            scount = tbl_ref[n_rows + r]
+            rox, roy, roz = row(ox), row(oy), row(oz)
+            rdx, rdy, rdz = row(dx), row(dy), row(dz)
+            rtm, rig, rsg = row(tmax), row(ign), row(seg)
+
+            def seg_body(s, carry):
+                bt, bp, bu, bv = carry
+                c = tbl_ref[2 * n_rows + sfirst + s]
+
+                @pl.when(c != cur[0])
+                def _():
+                    cp = pltpu.make_async_copy(prim_hbm.at[c], pscratch, sem)
+                    cp.start()
+                    cp.wait()
+                    cur[0] = c
+
+                lanes = rsg == (sfirst + s).astype(jnp.float32)
+                for sub in range(HCHUNK // 128):
+                    blk = [
+                        pscratch[kq : kq + 1, sub * 128 : (sub + 1) * 128]
+                        for kq in range(10)
+                    ]
+                    k_base = (c * HCHUNK + sub * 128).astype(jnp.float32)
+                    t, u, v, pid = _chunk_hits(
+                        blk, k_base, rox, roy, roz, rdx, rdy, rdz, rig,
+                        has_tri, has_sph,
+                    )
+                    t = jnp.where(lanes, t, _INF)  # other segments' lanes
+                    tm = jnp.min(t, axis=0, keepdims=True)
+                    sel = t <= tm
+                    pm = jnp.min(jnp.where(sel, pid, _INF), axis=0, keepdims=True)
+                    sel2 = sel & (pid == pm)
+                    um = jnp.sum(jnp.where(sel2, u, 0.0), axis=0, keepdims=True)
+                    vm = jnp.sum(jnp.where(sel2, v, 0.0), axis=0, keepdims=True)
+                    closer = tm < bt
+                    bt = jnp.where(closer, tm, bt)
+                    bp = jnp.where(closer, pm, bp)
+                    bu = jnp.where(closer, um, bu)
+                    bv = jnp.where(closer, vm, bv)
+                return bt, bp, bu, bv
+
+            init = (
+                rtm,
+                jnp.full_like(rtm, -1.0),
+                jnp.zeros_like(rtm),
+                jnp.zeros_like(rtm),
             )
-
-        @pl.when(alive[s])
-        def _(s=s, buf=buf):
-            wait(s, buf)
-            rows = pscratch[buf]  # (16, HCHUNK)
-            row = lambda r: r[s : s + 1, :]  # (1, 128) sub-row
-            best_t = row(tmax[0])
-            best_p = jnp.full_like(best_t, -1.0)
-            best_u = jnp.zeros_like(best_t)
-            best_v = jnp.zeros_like(best_t)
-            for sub in range(HCHUNK // 128):
-                blk = [rows[k : k + 1, sub * 128 : (sub + 1) * 128] for k in range(10)]
-                k_base = (cids_ref[i * 8 + s] * HCHUNK + sub * 128).astype(jnp.float32)
-                t, u, v, pid = _chunk_hits(
-                    blk, k_base,
-                    row(ox[0]), row(oy[0]), row(oz[0]),
-                    row(dx[0]), row(dy[0]), row(dz[0]), row(ign[0]),
-                    has_tri, has_sph,
-                )
-                tm = jnp.min(t, axis=0, keepdims=True)
-                sel = t <= tm
-                pm = jnp.min(jnp.where(sel, pid, _INF), axis=0, keepdims=True)
-                sel2 = sel & (pid == pm)
-                um = jnp.sum(jnp.where(sel2, u, 0.0), axis=0, keepdims=True)
-                vm = jnp.sum(jnp.where(sel2, v, 0.0), axis=0, keepdims=True)
-                closer = tm < best_t
-                best_t = jnp.where(closer, tm, best_t)
-                best_p = jnp.where(closer, pm, best_p)
-                best_u = jnp.where(closer, um, best_u)
-                best_v = jnp.where(closer, vm, best_v)
-            t_out[0, s : s + 1, :] = best_t
-            p_out[0, s : s + 1, :] = best_p
-            u_out[0, s : s + 1, :] = best_u
-            v_out[0, s : s + 1, :] = best_v
+            bt, bp, bu, bv = jax.lax.fori_loop(0, scount, seg_body, init)
+            t_out[0, s8 : s8 + 1, :] = bt
+            p_out[0, s8 : s8 + 1, :] = bp
+            u_out[0, s8 : s8 + 1, :] = bu
+            v_out[0, s8 : s8 + 1, :] = bv
 
 
-@functools.partial(jax.jit, static_argnames=("has_tri", "has_sph"))
-def _intersect_rows(row_chunk, cols, prim_chunks, has_tri, has_sph):
-    """cols: 8 arrays (R8, 8, 128) [o, d, tmax, ign]; row_chunk (R8*8,)
-    one chunk id per sub-row. Returns (t, p, u, v) of shape (R8, 8, 128)."""
+def _run_rows(tbl, cols, prim_chunks, has_tri, has_sph):
+    """cols: 9 arrays (R8, 8, 128) [o, d, tmax, ign, seg]; tbl the i32
+    scalar table [sfirst (R,), scount (R,), seg_chunk]. Returns
+    (t, p, u, v) of shape (R8, 8, 128)."""
     r8 = cols[0].shape[0]
-    kernel = functools.partial(_row_kernel, has_tri=has_tri, has_sph=has_sph)
+    kernel = functools.partial(
+        _seg_kernel, has_tri=has_tri, has_sph=has_sph, n_rows=r8 * 8
+    )
     ray_spec = pl.BlockSpec(
-        (1, 8, ROW), lambda i, c: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, 8, ROW), lambda i, tbl_: (i, 0, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(r8,),
-        in_specs=[ray_spec] * 8 + [pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[ray_spec] * 9 + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[ray_spec] * 4,
         scratch_shapes=[
-            pltpu.VMEM((2, 16, HCHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((16, HCHUNK), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -171,46 +169,120 @@ def _intersect_rows(row_chunk, cols, prim_chunks, has_tri, has_sph):
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
-    )(row_chunk, *cols, prim_chunks)
+    )(tbl, *cols, prim_chunks)
+
+
+# ---------------------------------------------------------------------------
+# XLA driver: selection, packing, rounds
+# ---------------------------------------------------------------------------
+
+
+def _inv_dir(d):
+    return jnp.where(jnp.abs(d) < 1e-12, 1e12 * jnp.where(d < 0, -1.0, 1.0), 1.0 / d)
 
 
 def _slab_all(o, d, cb, limit):
     """(N, C) chunk entry distances; +INF where the ray misses the box or
-    enters beyond `limit`."""
-    inv = jnp.where(jnp.abs(d) < 1e-12, 1e12 * jnp.where(d < 0, -1.0, 1.0), 1.0 / d)
-    lo = cb[:, 0:3]  # (C, 3)
-    hi = cb[:, 3:6]
-    t0 = (lo[None] - o[:, None]) * inv[:, None]  # (N, C, 3)
-    t1 = (hi[None] - o[:, None]) * inv[:, None]
-    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
-    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    enters beyond `limit`. RAW entry distance (can be negative when the
+    origin is inside the box): clamping to 0 made every origin-enclosing
+    chunk tie at exactly 0.0 and the tie-safe frontier could never
+    advance. Computed one axis at a time so every intermediate is a plain
+    (N, C) array — (N, C, 3) shapes get a minor-dim-3 T(8,128) layout that
+    runs at ~5% lane efficiency (profiled r3)."""
+    inv = _inv_dir(d)
+    tn = tf = None
+    for a in range(3):
+        t0 = (cb[None, :, a] - o[:, a : a + 1]) * inv[:, a : a + 1]
+        t1 = (cb[None, :, 3 + a] - o[:, a : a + 1]) * inv[:, a : a + 1]
+        tn_a = jnp.minimum(t0, t1)
+        tf_a = jnp.maximum(t0, t1)
+        tn = tn_a if tn is None else jnp.maximum(tn, tn_a)
+        tf = tf_a if tf is None else jnp.minimum(tf, tf_a)
     ok = (tn <= tf) & (tf > 0.0) & (tn < limit[:, None])
-    # RAW entry distance (can be negative when the origin is inside the
-    # box): clamping to 0 made every origin-enclosing chunk tie at
-    # exactly 0.0 and the tie-safe frontier could then never advance
     return jnp.where(ok, tn, _INF)
 
 
+def _lex_gt(t_a, c_a, t_b, c_b):
+    return (t_a > t_b) | ((t_a == t_b) & (c_a > c_b))
+
+
+def _pack_and_intersect(sel_c, o, d, best_t, ign_f, prim_chunks,
+                        n_chunks, has_tri, has_sph, m_pad):
+    """Pack this round's (ray, chunk) pairs into chunk-sorted segment rows,
+    run the row kernel, and return per-(k, ray) candidate results
+    (t, prim, u, v) with prim == -1 where the pair found nothing."""
+    kk, n = sel_c.shape
+    m = kk * n
+    pc = sel_c.reshape(-1)  # k-major: pair k*n + i = selection k of ray i
+    valid = pc >= 0
+    key = jnp.where(valid, pc, n_chunks).astype(jnp.int32)
+    rep = lambda a: jnp.tile(a, (kk,))
+    fields = (
+        rep(o[:, 0]), rep(o[:, 1]), rep(o[:, 2]),
+        rep(d[:, 0]), rep(d[:, 1]), rep(d[:, 2]),
+        # invalid pairs carry tmax 0 -> their rows/lanes are dead
+        jnp.where(valid, rep(best_t), 0.0),
+        rep(ign_f),
+    )
+    pad = m_pad - m
+    key = jnp.concatenate([key, jnp.full((pad,), n_chunks, jnp.int32)])
+    fields = tuple(
+        jnp.concatenate([f, jnp.zeros((pad,), f.dtype)]) for f in fields
+    )
+    q = jnp.arange(m_pad, dtype=jnp.int32)  # padding keeps q >= m
+
+    srt = jax.lax.sort((key,) + fields + (q,), num_keys=1)
+    key_s, fs, q_s = srt[0], srt[1:9], srt[9]
+
+    # segment structure: one segment per distinct chunk value in the sorted
+    # key sequence; rows are plain 128-lane slices of the sorted pairs
+    iota = jnp.arange(m_pad, dtype=jnp.int32)
+    flag = (iota == 0) | (key_s != jnp.roll(key_s, 1))
+    seg_id = jnp.cumsum(flag.astype(jnp.int32)) - 1
+    sfirst = seg_id[::ROW]
+    scount = seg_id[ROW - 1 :: ROW] - sfirst + 1
+    s_max = n_chunks + 2  # distinct keys <= chunks + invalid sentinel
+    # segment -> chunk table via a tiny 2-operand sort (flagged entries
+    # first, ordered by segment id) — scatter was ~3x the cost
+    sc = jax.lax.sort(
+        (jnp.where(flag, seg_id, jnp.int32(2**30)), key_s), num_keys=1
+    )
+    seg_chunk = jnp.minimum(sc[1][:s_max], n_chunks - 1)  # clamp sentinel
+    tbl = jnp.concatenate([sfirst, scount, seg_chunk])
+
+    shape3 = (m_pad // (8 * ROW), 8, ROW)
+    cols = tuple(f.reshape(shape3) for f in fs) + (
+        seg_id.astype(jnp.float32).reshape(shape3),
+    )
+    t_r, p_r, u_r, v_r = _run_rows(tbl, cols, prim_chunks, has_tri, has_sph)
+
+    back = jax.lax.sort(
+        (q_s, t_r.reshape(-1), p_r.reshape(-1), u_r.reshape(-1),
+         v_r.reshape(-1)),
+        num_keys=1,
+    )
+    return tuple(a[:m].reshape(kk, n) for a in back[1:5])
+
+
 @functools.partial(
-    jax.jit, static_argnames=("has_tri", "has_sph", "rounds", "k")
+    jax.jit,
+    static_argnames=("has_tri", "has_sph", "k", "k_straggler", "occlude",
+                     "max_rounds"),
 )
 def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
-                       has_tri, has_sph, rounds, k):
+                       has_tri, has_sph, k, k_straggler, occlude, max_rounds):
     n = o.shape[0]
     c = cb.shape[0]
-    iota_c = jnp.arange(c, dtype=jnp.int32)
-    m = n * k
-    # per-chunk padding bound + 1 dedicated dump row for invalid pairs,
-    # rounded to the kernel's 8-row blocks
-    r_max = -(-(-(-m // ROW) + c + 1) // 8) * 8
-
-    best_t0 = jnp.minimum(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)), _INF)
+    ign_f = ign_sorted.astype(jnp.float32)
+    best_t0 = jnp.minimum(
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)), _INF
+    )
 
     # ---- two-level chunk selection tables (computed once per trace):
     # supers of SUP consecutive chunks (BVH-leaf order => spatially tight)
     s_count = -(-c // SUP)
     c_pad = s_count * SUP
-    cb_pad = jnp.concatenate(
+    cb_box = jnp.concatenate(  # ±INF pads: neutral for super min/max
         [
             cb,
             jnp.tile(
@@ -220,27 +292,44 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         ],
         axis=0,
     )
-    sup_lo = cb_pad[:, 0:3].reshape(s_count, SUP, 3).min(axis=1)
-    sup_hi = cb_pad[:, 3:6].reshape(s_count, SUP, 3).max(axis=1)
+    sup_lo = cb_box[:, 0:3].reshape(s_count, SUP, 3).min(axis=1)
+    sup_hi = cb_box[:, 3:6].reshape(s_count, SUP, 3).max(axis=1)
     sup_cb = jnp.concatenate([sup_lo, sup_hi], axis=1)  # (S, 6)
-    sup_table = cb_pad.reshape(s_count, SUP * 6)  # per-super chunk bounds
+    # lookup pads are (+INF, +INF): a degenerate box at infinity fails the
+    # slab test on every ray, so pad chunks are never selected (±INF pads
+    # make tn = -INF < tf = +INF — eligible with a frontier-hijacking -INF
+    # entry distance)
+    cb_look = jnp.concatenate(
+        [cb, jnp.full((c_pad - c, 6), _INF, jnp.float32)], axis=0
+    )
+    # block-diagonal lookup table: ONE (N, KSUP*S) one-hot matmul fetches
+    # all KSUP examined supers' chunk bounds as six (N, KSUP*SUP) arrays —
+    # component-major, so no minor-dim-6 layouts anywhere (profiled r3:
+    # the (N, 64, 6) form ran at ~5% lane efficiency, 23 ms/round)
+    eye_k = jnp.eye(KSUP, dtype=jnp.float32)
+    t_all = jnp.concatenate(
+        [
+            jnp.kron(eye_k, cb_look[:, comp].reshape(s_count, SUP))
+            for comp in range(6)
+        ],
+        axis=1,
+    )  # (KSUP*S, 6*KSUP*SUP)
     iota_s = jnp.arange(s_count, dtype=jnp.int32)
     iota_sup = jnp.arange(SUP, dtype=jnp.int32)
+    iota_ks = jnp.arange(KSUP * s_count, dtype=jnp.int32)
 
-    def lex_gt(t_a, c_a, t_b, c_b):
-        return (t_a > t_b) | ((t_a == t_b) & (c_a > c_b))
-
-    def select(best_t, f_t, f_c, next_lb):
+    def select(best_t, f_t, f_c, next_lb, o_, d_, k_):
         """Each ray's k nearest unvisited chunks through the super level.
 
-        `next_lb` (N, S) is each super's ADVANCING lower bound on its
+        `next_lb` (N', S) is each super's ADVANCING lower bound on its
         remaining eligible chunks' entry distance: initialized to the
         super-box slab entry and, once a super is examined, tightened to
         the min eligible chunk tn that survived the round (INF when
         consumed). Ranking + guard use it, so consumed-near supers rotate
         out of the gather slots instead of stalling the frontier — the
         failure mode of ranking by the static box entry."""
-        keyed = jnp.where(next_lb < best_t[:, None], next_lb, _INF)  # (N, S)
+        n_ = o_.shape[0]
+        keyed = jnp.where(next_lb < best_t[:, None], next_lb, _INF)  # (N', S)
         sup_sel, sup_t = [], []
         tn_sm = keyed
         for _j in range(KSUP):
@@ -250,32 +339,40 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             sup_t.append(sv)
             tn_sm = jnp.where(iota_s[None] == sidx[:, None], _INF, tn_sm)
         guard = jnp.min(tn_sm, axis=1)  # nearest un-gathered super's bound
-        sup_sel = jnp.stack(sup_sel, 1)  # (N, KSUP)
+        sup_sel = jnp.stack(sup_sel, 1)  # (N', KSUP)
         sup_ok = jnp.stack(sup_t, 1) < _INF
 
         glob = (sup_sel[:, :, None] * SUP + iota_sup[None, None, :]).reshape(
-            n, KSUP * SUP
-        )  # (N, G) global chunk ids (pad chunks give INF below)
-        # fetch the examined supers' chunk bounds via a one-hot MXU lookup:
-        # a per-ray row gather here runs at ~1-2 GiB/s and was measured as
-        # ~90% of the round (utils/vec.py:small_table_lookup rationale)
-        from ..utils.vec import small_table_lookup
-
-        g_cb = small_table_lookup(
-            sup_table, sup_sel.reshape(-1)
-        ).reshape(n, KSUP * SUP, 6)
-        inv = jnp.where(
-            jnp.abs(d) < 1e-12, 1e12 * jnp.where(d < 0, -1.0, 1.0), 1.0 / d
-        )
-        t0 = (g_cb[:, :, 0:3] - o[:, None]) * inv[:, None]
-        t1 = (g_cb[:, :, 3:6] - o[:, None]) * inv[:, None]
-        tn_c = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        tf_c = jnp.min(jnp.maximum(t0, t1), axis=-1)
+            n_, KSUP * SUP
+        )  # (N', G) global chunk ids (pad chunks fail the slab test)
+        # fetch the examined supers' chunk bounds via ONE one-hot matmul
+        # against the block-diagonal component-major table: a per-ray row
+        # gather runs at ~1-2 GiB/s, and the (N, G, 6) layout the old
+        # per-super lookup produced ran at ~5% lane efficiency
+        targ = sup_sel + iota_s.shape[0] * jnp.arange(KSUP, dtype=jnp.int32)[None]
+        oh = jnp.zeros((n_, KSUP * s_count), jnp.float32)
+        for j in range(KSUP):
+            oh = oh + (iota_ks[None] == targ[:, j : j + 1]).astype(jnp.float32)
+        g = jnp.dot(
+            oh, t_all,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # exact (one-hot gather)
+        )  # (N', 6G): [lo_x | lo_y | lo_z | hi_x | hi_y | hi_z] blocks
+        gdim = KSUP * SUP
+        inv = _inv_dir(d_)
+        tn_c = tf_c = None
+        for a in range(3):
+            t0 = (g[:, a * gdim : (a + 1) * gdim] - o_[:, a : a + 1]) * inv[:, a : a + 1]
+            t1 = (g[:, (3 + a) * gdim : (4 + a) * gdim] - o_[:, a : a + 1]) * inv[:, a : a + 1]
+            tn_a = jnp.minimum(t0, t1)
+            tf_a = jnp.maximum(t0, t1)
+            tn_c = tn_a if tn_c is None else jnp.maximum(tn_c, tn_a)
+            tf_c = tf_a if tf_c is None else jnp.minimum(tf_c, tf_a)
         ok = (tn_c <= tf_c) & (tf_c > 0.0) & (tn_c < best_t[:, None])
         tn_c = jnp.where(ok, tn_c, _INF)  # raw entry; see _slab_all
         elig = (
             (tn_c < _INF)
-            & lex_gt(tn_c, glob, f_t[:, None], f_c[:, None])
+            & _lex_gt(tn_c, glob, f_t[:, None], f_c[:, None])
             & jnp.repeat(sup_ok, SUP, axis=1)
         )
         tn_m = jnp.where(elig, tn_c, _INF)
@@ -283,7 +380,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         # k nearest by strict (t, chunk-id) lex order: argmin on t, then
         # the smallest global id among the tied entries
         sel_c, sel_t = [], []
-        for _k in range(k):
+        for _k in range(k_):
             tmin = jnp.min(tn_m, axis=1)
             gmin = jnp.min(
                 jnp.where(tn_m == tmin[:, None], glob, jnp.int32(2**30)), axis=1
@@ -292,8 +389,8 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             sel_c.append(jnp.where(tmin < _INF, gmin, -1))
             sel_t.append(tmin)
             tn_m = jnp.where(pick, _INF, tn_m)
-        sel_c = jnp.stack(sel_c, 1)  # (N, K)
-        sel_t = jnp.stack(sel_t, 1)
+        sel_c = jnp.stack(sel_c, 0)  # (K, N') — K on sublanes for reductions
+        sel_t = jnp.stack(sel_t, 0)
 
         # post-round frontier: lex-min of (k-th selection, guard), made
         # monotone against the incoming frontier.
@@ -301,24 +398,24 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         # with a smaller id than the k-th pick — (guard, -1) keeps it
         # eligible (re-intersecting already-selected ties is idempotent)
         any_sel = sel_t < _INF
-        lt = jnp.max(jnp.where(any_sel, sel_t, -_INF), axis=1)
+        lt = jnp.max(jnp.where(any_sel, sel_t, -_INF), axis=0)
         lc = jnp.max(
-            jnp.where((sel_t == lt[:, None]) & any_sel, sel_c, -1), axis=1
+            jnp.where((sel_t == lt[None]) & any_sel, sel_c, -1), axis=0
         )
-        has = jnp.any(any_sel, axis=1)
+        has = jnp.any(any_sel, axis=0)
         cand_t = jnp.where(has & (lt < guard), lt, guard)
         cand_c = jnp.where(has & (lt < guard), lc, -1)
-        adv = lex_gt(cand_t, cand_c, f_t, f_c)
+        adv = _lex_gt(cand_t, cand_c, f_t, f_c)
         nf_t = jnp.where(adv, cand_t, f_t)
         nf_c = jnp.where(adv, cand_c, f_c)
 
         # tighten the examined supers' bounds: min chunk tn still eligible
         # AFTER this round's frontier (INF = consumed; eligibility only
         # shrinks, so the tightened bound stays valid forever)
-        still = elig & lex_gt(tn_c, glob, nf_t[:, None], nf_c[:, None])
+        still = elig & _lex_gt(tn_c, glob, nf_t[:, None], nf_c[:, None])
         rem_lb = jnp.min(
-            jnp.where(still, tn_c, _INF).reshape(n, KSUP, SUP), axis=2
-        )  # (N, KSUP)
+            jnp.where(still, tn_c, _INF).reshape(n_, KSUP, SUP), axis=2
+        )  # (N', KSUP)
         upd = (iota_s[None, None, :] == sup_sel[:, :, None]) & sup_ok[:, :, None]
         next_new = jnp.where(
             jnp.any(upd, axis=1),
@@ -327,131 +424,156 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         )
         return sel_c, sel_t, nf_t, nf_c, next_new
 
+    def round_body(st, o_, d_, ign_f_, m_pad_, k_):
+        """One traversal round at the state's width: intersect the current
+        selections, merge, select the next round's chunks."""
+        pt, pp, pu, pv = _pack_and_intersect(
+            st["sel_c"], o_, d_, st["best_t"], ign_f_, prim_chunks, c,
+            has_tri, has_sph, m_pad_,
+        )
+        hitp = pp >= 0.0
+        ptv = jnp.where(hitp, pt, _INF)
+        if occlude:
+            blocked = jnp.any(hitp, axis=0)  # any hit < current cap
+            new_t = jnp.where(blocked, 0.0, st["best_t"])
+            new_p, new_u, new_v = st["best_p"], st["best_u"], st["best_v"]
+        else:
+            rt = jnp.min(ptv, axis=0)
+            rp = jnp.min(jnp.where(ptv == rt[None], pp, _INF), axis=0)
+            match = (ptv == rt[None]) & (pp == rp[None])
+            ru = jnp.max(jnp.where(match, pu, -_INF), axis=0)
+            rv = jnp.max(jnp.where(match, pv, -_INF), axis=0)
+            better = rt < st["best_t"]  # strict: an earlier equal hit stays
+            new_t = jnp.where(better, rt, st["best_t"])
+            new_p = jnp.where(better, rp, st["best_p"])
+            new_u = jnp.where(better, ru, st["best_u"])
+            new_v = jnp.where(better, rv, st["best_v"])
+
+        sel_c, sel_t, nf_t, nf_c, lb = select(
+            new_t, st["f_t"], st["f_c"], st["lb"], o_, d_, k_
+        )
+        return dict(
+            best_t=new_t, best_p=new_p, best_u=new_u, best_v=new_v,
+            f_t=nf_t, f_c=nf_c, lb=lb, sel_c=sel_c, sel_t=sel_t,
+            rounds=st["rounds"] + 1,
+        )
+
+    # ---- initial state + first selection (full width)
+    lb0 = _slab_all(o, d, sup_cb, jnp.full((n,), _INF))  # (N, S)
+    sel_c0, sel_t0, f_t0, f_c0, lb0 = select(
+        best_t0, jnp.full((n,), -_INF), jnp.full((n,), -1, jnp.int32), lb0,
+        o, d, k,
+    )
     state = dict(
         best_t=best_t0,
         best_p=jnp.full((n,), -1.0),
         best_u=jnp.zeros((n,)),
         best_v=jnp.zeros((n,)),
+        f_t=f_t0, f_c=f_c0, lb=lb0, sel_c=sel_c0, sel_t=sel_t0,
         rounds=jnp.zeros((), jnp.int32),
-        lb=_slab_all(o, d, sup_cb, jnp.full((n,), _INF)),  # (N, S)
-    )
-    (state["sel_c"], state["sel_t"], state["f_t"], state["f_c"],
-     state["lb"]) = select(
-        best_t0, jnp.full((n,), -_INF), jnp.full((n,), -1, jnp.int32),
-        state["lb"],
     )
 
-    def cond(st):
-        return (st["rounds"] < rounds) & jnp.any(st["sel_c"] >= 0)
+    m_pad_full = -(-(n * k) // 1024) * 1024
+    nc = min(n, max(1024, (-(-(n // COMPACT_FRACTION) // 1024)) * 1024))
+    full_rounds = max_rounds if nc >= n else FULL_ROUNDS
 
-    def body(st):
-        sel_c, sel_t = st["sel_c"], st["sel_t"]
-        f_t, f_c = st["f_t"], st["f_c"]  # already post-round (see select)
+    def pending(st):
+        return jnp.any(st["sel_c"][0] >= 0)
 
-        # ---- pack valid (ray, chunk) pairs into chunk-pure 128-lane rows.
-        # Everything below is gathers + sorts + prefix sums — TPU scatters
-        # are serialization-prone and were the previous bottleneck.
-        pc = sel_c.reshape(-1)
-        pl_ = jnp.broadcast_to(
-            jnp.arange(n, dtype=jnp.int32)[:, None], (n, k)
-        ).reshape(-1)
-        valid = pc >= 0
-        sort_key = jnp.where(valid, pc, c)  # invalid pairs sort last
-        order = jnp.argsort(sort_key)
-        pc_s = sort_key[order]
-        pl_s = pl_[order]
+    st = jax.lax.while_loop(
+        lambda st: (st["rounds"] < full_rounds) & pending(st),
+        lambda st: round_body(st, o, d, ign_f, m_pad_full, k),
+        state,
+    )
 
-        first = jnp.searchsorted(pc_s, jnp.arange(c + 1, dtype=jnp.int32), side="left")
-        counts = first[1:] - first[:-1]  # (C,) pairs per chunk
-        rows_per = -(-counts // ROW)
-        cum_rows = jnp.cumsum(rows_per)  # (C,)
-        row_start = cum_rows - rows_per
+    if nc < n:
+        # ---- straggler compaction: gather the first nc still-pending rays
+        # into a dense sub-problem, run it to completion with an ESCALATED
+        # K (stragglers are long-frontier rays — misses grazing dozens of
+        # chunk boxes — so fat rounds amortize the fixed per-round cost),
+        # scatter back; repeat until no ray is pending.
+        ks = k_straggler
+        m_pad_c = -(-(nc * ks) // 1024) * 1024
+        iota_n = jnp.arange(n, dtype=jnp.int32)
+        iota_nc = jnp.arange(nc, dtype=jnp.int32)
+        outer_cap = (n // nc + 2) * 4
 
-        # slot -> pair (pure arithmetic): row r belongs to the chunk whose
-        # row range covers it; its pairs start at first[ch] + offset
-        rows_iota = jnp.arange(r_max, dtype=jnp.int32)
-        ch_of_row = jnp.searchsorted(cum_rows, rows_iota, side="right").astype(jnp.int32)
-        ch_clamped = jnp.clip(ch_of_row, 0, c - 1)
-        row_chunk = jnp.where(ch_of_row < c, ch_clamped, 0)
-        pair_base = first[ch_clamped] + (rows_iota - row_start[ch_clamped]) * ROW
-        lane_iota = jnp.arange(ROW, dtype=jnp.int32)
-        pair_idx = pair_base[:, None] + lane_iota[None, :]  # (R, ROW)
-        slot_ok = (ch_of_row[:, None] < c) & (
-            pair_idx < (first[ch_clamped] + counts[ch_clamped])[:, None]
+        def outer(stf):
+            pend = stf["sel_c"][0] >= 0
+            cnt = jnp.cumsum(pend.astype(jnp.int32))
+            total = cnt[-1]
+            pos = jnp.where(pend & (cnt <= nc), cnt - 1, nc)
+            idxs = jnp.zeros((nc,), jnp.int32).at[pos].set(iota_n, mode="drop")
+            live = iota_nc < total  # duplicate-of-ray-0 padding lanes
+
+            o_s, d_s, ign_s = o[idxs], d[idxs], ign_f[idxs]
+            # the gathered selections are already BEHIND the advanced
+            # frontier, so they must be intersected, not re-selected: one
+            # k-wide round first (it selects the next round at ks), then
+            # the escalated while-loop
+            sub = dict(
+                best_t=stf["best_t"][idxs], best_p=stf["best_p"][idxs],
+                best_u=stf["best_u"][idxs], best_v=stf["best_v"][idxs],
+                f_t=stf["f_t"][idxs], f_c=stf["f_c"][idxs],
+                lb=stf["lb"][idxs],
+                sel_c=jnp.where(live[None], stf["sel_c"][:, idxs], -1),
+                sel_t=stf["sel_t"][:, idxs],
+                rounds=jnp.zeros((), jnp.int32),
+            )
+            m_pad_c0 = -(-(nc * k) // 1024) * 1024
+            sub = round_body(sub, o_s, d_s, ign_s, m_pad_c0, ks)
+
+            done = jax.lax.while_loop(
+                lambda s: (s["rounds"] < max_rounds) & jnp.any(s["sel_c"][0] >= 0),
+                lambda s: round_body(s, o_s, d_s, ign_s, m_pad_c, ks),
+                sub,
+            )
+
+            tgt = jnp.where(live, idxs, n)  # sentinel rows dropped
+            out = dict(stf)
+            for f in ("best_t", "best_p", "best_u", "best_v", "f_t", "f_c"):
+                out[f] = stf[f].at[tgt].set(done[f], mode="drop")
+            # retire the solved rays in the full-width (k-shaped) selection;
+            # a lane still pending at the cap keeps its original selection
+            still = done["sel_c"][0] >= 0
+            out["sel_c"] = stf["sel_c"].at[:, tgt].set(
+                jnp.where(still[None], stf["sel_c"][:, idxs], -1), mode="drop"
+            )
+            out["outer"] = stf["outer"] + 1
+            return out
+
+        st = jax.lax.while_loop(
+            lambda s: (s["outer"] < outer_cap) & pending(s),
+            outer,
+            {**st, "outer": jnp.zeros((), jnp.int32)},
         )
-        pair_lane = pl_s[jnp.clip(pair_idx, 0, m - 1)]  # (R, ROW) ray ids
+        st.pop("outer")
 
-        def gather(a, fill):
-            g = a[pair_lane]
-            return jnp.where(slot_ok, g, fill).reshape(r_max // 8, 8, ROW)
-
-        cols = (
-            gather(o[:, 0], 0.0), gather(o[:, 1], 0.0), gather(o[:, 2], 0.0),
-            gather(d[:, 0], 0.0), gather(d[:, 1], 0.0), gather(d[:, 2], 1.0),
-            gather(st["best_t"], 0.0),  # current best caps the row's search
-            gather(ign_sorted.astype(jnp.float32), -1.0),
-        )
-        t_r, p_r, u_r, v_r = _intersect_rows(
-            row_chunk, cols, prim_chunks, has_tri, has_sph
-        )
-
-        # ---- results back to (N, K) pair grid (gathers only), then a
-        # per-ray min-reduce with a lowest-prim-id tie-break
-        flat = lambda x: x.reshape(r_max * ROW)
-        # sorted pair j sits at slot row*ROW + lane; invert analytically:
-        srt = jnp.arange(m, dtype=jnp.int32)
-        rank = srt - first[jnp.clip(pc_s, 0, c - 1)]
-        slot = jnp.where(
-            pc_s < c,
-            (row_start[jnp.clip(pc_s, 0, c - 1)] + rank // ROW) * ROW + rank % ROW,
-            r_max * ROW - 1,
-        )
-        inv = jnp.argsort(order)  # original pair -> sorted position
-        slot_of_pair = slot[inv]
-        pt = flat(t_r)[slot_of_pair].reshape(n, k)
-        pp = flat(p_r)[slot_of_pair].reshape(n, k)
-        pu = flat(u_r)[slot_of_pair].reshape(n, k)
-        pv = flat(v_r)[slot_of_pair].reshape(n, k)
-        hitp = (sel_c >= 0) & (pp >= 0.0)
-        pt = jnp.where(hitp, pt, _INF)
-        rt = jnp.min(pt, axis=1)
-        rp = jnp.min(jnp.where(pt == rt[:, None], pp, _INF), axis=1)
-        match = (pt == rt[:, None]) & (pp == rp[:, None])
-        ru = jnp.max(jnp.where(match, pu, -_INF), axis=1)
-        rv = jnp.max(jnp.where(match, pv, -_INF), axis=1)
-
-        better = rt < st["best_t"]  # strict: an earlier equal hit stays
-        new_best_t = jnp.where(better, rt, st["best_t"])
-        next_c, next_t, nf_t, nf_c, lb = select(new_best_t, f_t, f_c, st["lb"])
-        return dict(
-            best_t=new_best_t,
-            best_p=jnp.where(better, rp, st["best_p"]),
-            best_u=jnp.where(better, ru, st["best_u"]),
-            best_v=jnp.where(better, rv, st["best_v"]),
-            f_t=nf_t,
-            f_c=nf_c,
-            rounds=st["rounds"] + 1,
-            sel_c=next_c,
-            sel_t=next_t,
-            lb=lb,
-        )
-
-    st = jax.lax.while_loop(cond, body, state)
+    if occlude:
+        return (best_t0 > 0.0) & (st["best_t"] <= 0.0)
     return st["best_t"], st["best_p"], st["best_u"], st["best_v"]
 
 
-def trace_binned(geom, soa: HierSoA, o, d, t_max, ignore, *, rounds: int = 6,
-                 k: int = 4) -> Hit:
+# ---------------------------------------------------------------------------
+# Public API (same contract as intersect_hier / occlude_hier)
+# ---------------------------------------------------------------------------
+
+
+def trace_binned(geom, soa: HierSoA, o, d, t_max, ignore, *,
+                 rounds: int = 4096, k: int = 2, k_straggler: int = 16) -> Hit:
     """Closest-hit via binned traversal; same contract as intersect_hier
-    (non-instanced scenes: Hit.prim in storage ids, findFar semantics)."""
-    assert not soa.instanced, "binned traversal: instancing lands with integration"
+    (non-instanced scenes: Hit.prim in storage ids, findFar semantics).
+    `rounds` is a safety cap — the loop normally runs until every ray's
+    frontier is exhausted."""
+    assert not soa.instanced, "binned traversal: instancing via scene_ops dispatch"
     n = o.shape[0]
     ign = _sorted_ignore(soa, ignore)
     t, p, u, v = _trace_binned_impl(
         jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
         jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)), ign,
         soa.chunk_bounds, soa.prim_chunks,
-        soa.num_tris > 0, soa.num_prims > soa.num_tris, rounds, k,
+        soa.num_tris > 0, soa.num_prims > soa.num_tris, k, k_straggler,
+        False, rounds,
     )
     sorted_id = jnp.clip(p, 0.0, soa.order.shape[0] - 1).astype(jnp.int32)
     prim = jnp.where(p >= 0.0, soa.order[sorted_id], -1)
@@ -461,4 +583,21 @@ def trace_binned(geom, soa: HierSoA, o, d, t_max, ignore, *, rounds: int = 6,
         prim=jnp.where(found, prim, -1),
         uv=jnp.stack([jnp.where(found, u, 0.0), jnp.where(found, v, 0.0)], -1),
         inst=jnp.zeros((n,), jnp.int32),
+    )
+
+
+def occlude_binned(geom, soa: HierSoA, o, d, t_max, ignore, *,
+                   rounds: int = 4096, k: int = 2,
+                   k_straggler: int = 16) -> jax.Array:
+    """Any-hit within (EPS, t_max) via binned traversal; same contract as
+    occlude_hier."""
+    assert not soa.instanced, "binned traversal: instancing via scene_ops dispatch"
+    n = o.shape[0]
+    ign = _sorted_ignore(soa, ignore)
+    return _trace_binned_impl(
+        jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)), ign,
+        soa.chunk_bounds, soa.prim_chunks,
+        soa.num_tris > 0, soa.num_prims > soa.num_tris, k, k_straggler,
+        True, rounds,
     )

@@ -52,6 +52,34 @@ def test_binned_ignore_and_findfar():
     assert own.mean() > 0.5
 
 
+def test_binned_occlude_matches_linear():
+    geom = _geometry(500, 100, seed=7)
+    soa = _hier(geom, seed=8)
+    o, d = _rays(256, seed=9)
+    ig = jnp.full((256,), -1, jnp.int32)
+    for t_max in (0.5, 2.0, 1e30):
+        want = intersect_linear(geom, o, d, t_max, ig).prim >= 0
+        got = bt.occlude_binned(geom, soa, o, d, t_max, ig)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_binned_compaction_phase():
+    """N above the compaction width so the straggler phase (gather first-nc
+    pending rays, solve, scatter back) actually runs; results must still
+    agree exactly with the linear oracle."""
+    geom = _geometry(500, 100, seed=11)
+    soa = _hier(geom, seed=12)
+    o, d = _rays(2048, seed=13)
+    n = 2048
+    assert min(n, 1024) < n  # compaction path taken for this size
+    ig = jnp.full((n,), -1, jnp.int32)
+    h = bt.trace_binned(geom, soa, o, d, jnp.inf, ig)
+    r = intersect_linear(geom, o, d, jnp.inf, ig)
+    np.testing.assert_array_equal(np.asarray(h.prim), np.asarray(r.prim))
+    both = np.asarray(h.prim) >= 0
+    np.testing.assert_allclose(np.asarray(h.t)[both], np.asarray(r.t)[both], rtol=1e-4)
+
+
 def test_binned_multi_super_level():
     """Enough chunks for several superchunks (two-level selection paths:
     guard-capped frontier, exhausted-super marking)."""
