@@ -25,8 +25,8 @@ def sync(x):
 def main():
     n_rays = 2 ** 17
     rs = np.random.RandomState(1)
-    k = 16
-    geom, t = make_mesh(k, 22)
+    k = 23
+    geom, t = make_mesh(k, 31)
     bmin, bmax = geometry_bounds({k2: np.asarray(v) for k2, v in geom._asdict().items()})
     bvh = build_bvh(bmin, bmax)
     hier = ph.build_hier_soa(geom, np.asarray(bvh.prim_order))

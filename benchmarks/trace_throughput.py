@@ -22,7 +22,31 @@ from echorenderer_tpu.aggregation.bvh import build_bvh, geometry_bounds, interse
 
 
 def make_mesh(n_spheres_side, subdiv):
-    """Grid of UV-spheres -> triangle soup with controllable count."""
+    """Grid of UV-spheres -> triangle soup with controllable count.
+    Cached to /tmp (the python loops below cost minutes at 1M tris)."""
+    cache = f"/tmp/mesh_{n_spheres_side}_{subdiv}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return _soup_to_geom(z["v0"], z["e1"], z["e2"]), int(z["v0"].shape[0])
+    return _make_mesh_uncached(n_spheres_side, subdiv, cache)
+
+
+def _soup_to_geom(v0, e1, e2):
+    t = v0.shape[0]
+    z3 = np.zeros((t, 3), np.float32)
+    z2 = np.zeros((t, 2), np.float32)
+    return FlatGeometry(
+        tri_v0=jnp.asarray(v0), tri_e1=jnp.asarray(e1), tri_e2=jnp.asarray(e2),
+        tri_n0=jnp.asarray(z3), tri_n1=jnp.asarray(z3), tri_n2=jnp.asarray(z3),
+        tri_uv0=jnp.asarray(z2), tri_uv1=jnp.asarray(z2), tri_uv2=jnp.asarray(z2),
+        tri_mat=jnp.zeros(t, jnp.int32),
+        sph_center=jnp.zeros((0, 3), jnp.float32),
+        sph_radius=jnp.zeros((0,), jnp.float32),
+        sph_mat=jnp.zeros(0, jnp.int32),
+    )
+
+
+def _make_mesh_uncached(n_spheres_side, subdiv, cache):
     # one uv sphere
     nu, nv = subdiv, subdiv
     u = np.linspace(0, 2 * np.pi, nu + 1)
@@ -46,21 +70,11 @@ def make_mesh(n_spheres_side, subdiv):
         c = np.asarray([ox * 2.5, rs.uniform(0, 0.5), oz * 2.5], np.float32)
         all_tris.append(tris * rs.uniform(0.7, 1.1) + c)
     soup = np.concatenate(all_tris, 0)
-    v0 = soup[:, 0]
-    e1 = soup[:, 1] - soup[:, 0]
-    e2 = soup[:, 2] - soup[:, 0]
-    t = v0.shape[0]
-    z3 = np.zeros((t, 3), np.float32)
-    z2 = np.zeros((t, 2), np.float32)
-    return FlatGeometry(
-        tri_v0=jnp.asarray(v0), tri_e1=jnp.asarray(e1), tri_e2=jnp.asarray(e2),
-        tri_n0=jnp.asarray(z3), tri_n1=jnp.asarray(z3), tri_n2=jnp.asarray(z3),
-        tri_uv0=jnp.asarray(z2), tri_uv1=jnp.asarray(z2), tri_uv2=jnp.asarray(z2),
-        tri_mat=jnp.zeros(t, jnp.int32),
-        sph_center=jnp.zeros((0, 3), jnp.float32),
-        sph_radius=jnp.zeros((0,), jnp.float32),
-        sph_mat=jnp.zeros(0, jnp.int32),
-    ), t
+    v0 = np.ascontiguousarray(soup[:, 0])
+    e1 = np.ascontiguousarray(soup[:, 1] - soup[:, 0])
+    e2 = np.ascontiguousarray(soup[:, 2] - soup[:, 0])
+    np.savez(cache, v0=v0, e1=e1, e2=e2)
+    return _soup_to_geom(v0, e1, e2), v0.shape[0]
 
 
 def camera_rays(n, k):

@@ -64,20 +64,74 @@ COMPACT_FRACTION = 4  # compact phase width = n / this
 
 
 def _seg_kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tmax, ign, seg, prim_hbm,
-                t_out, p_out, u_out, v_out, pscratch, cur, sem,
+                t_out, p_out, u_out, v_out, pscratch, cur, sem0, sem1,
                 *, has_tri, has_sph, n_rows):
     """One block = 8 sub-rows of 128 chunk-sorted pairs. Sub-row r spans
     segments tbl[r] .. tbl[r] + tbl[n_rows + r] - 1; segment s intersects
-    chunk tbl[2*n_rows + s] against the lanes whose seg column == s. The
-    loaded chunk is cached in `cur` so a segment spanning many consecutive
-    rows DMAs its chunk once per block."""
+    chunk tbl[2*n_rows + s] against the lanes whose seg column == s.
+
+    Chunk streaming is double-buffered: while segment s computes out of
+    one buffer, segment s+1's chunk is DMA'd into the other (the
+    full-width rows were DMA-latency-bound at ~4 us/row single-buffered).
+    `cur` tracks per buffer the chunk loaded-or-loading (-1 none) plus an
+    in-flight flag, so a segment spanning consecutive rows reuses its
+    resident chunk without a new copy."""
     i = pl.program_id(0)
     # defaults: dead rows / unmasked lanes report (t=tmax, no prim)
     t_out[:] = tmax[:]
     p_out[:] = jnp.full_like(tmax[:], -1.0)
     u_out[:] = jnp.zeros_like(tmax[:])
     v_out[:] = jnp.zeros_like(tmax[:])
-    cur[0] = -1
+    # cur[0:2] buffer chunk ids, cur[2:4] in-flight flags — persistent
+    # across grid blocks (chunks stay resident block-to-block)
+    @pl.when(i == 0)
+    def _():
+        cur[0] = -1
+        cur[1] = -1
+        cur[2] = 0
+        cur[3] = 0
+
+    def start(buf, c):
+        @pl.when(buf == 0)
+        def _():
+            pltpu.make_async_copy(prim_hbm.at[c], pscratch.at[0], sem0).start()
+
+        @pl.when(buf == 1)
+        def _():
+            pltpu.make_async_copy(prim_hbm.at[c], pscratch.at[1], sem1).start()
+
+    def wait(buf):
+        @pl.when((buf == 0) & (cur[2] == 1))
+        def _():
+            pltpu.make_async_copy(
+                prim_hbm.at[cur[0]], pscratch.at[0], sem0
+            ).wait()
+            cur[2] = 0
+
+        @pl.when((buf == 1) & (cur[3] == 1))
+        def _():
+            pltpu.make_async_copy(
+                prim_hbm.at[cur[1]], pscratch.at[1], sem1
+            ).wait()
+            cur[3] = 0
+
+    def prefetch(buf, c):
+        """Begin loading chunk c into `buf` unless it's already there or
+        the buffer still has an unconsumed copy in flight."""
+        @pl.when(cur[buf] != c)
+        def _():
+            wait(buf)  # drop any stale in-flight copy
+            start(buf, c)
+            cur[buf] = c
+
+            @pl.when(buf == 0)
+            def _():
+                cur[2] = 1
+
+            @pl.when(buf == 1)
+            def _():
+                cur[3] = 1
+
     for s8 in range(8):
         r = i * 8 + s8
         alive = jnp.any(tmax[0, s8 : s8 + 1, :] > 0.0)
@@ -94,18 +148,23 @@ def _seg_kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tmax, ign, seg, prim_hbm,
             def seg_body(s, carry):
                 bt, bp, bu, bv = carry
                 c = tbl_ref[2 * n_rows + sfirst + s]
-
-                @pl.when(c != cur[0])
-                def _():
-                    cp = pltpu.make_async_copy(prim_hbm.at[c], pscratch, sem)
-                    cp.start()
-                    cp.wait()
-                    cur[0] = c
+                # current buffer: the one already holding c, else alternate
+                buf = jnp.where(
+                    cur[0] == c, 0, jnp.where(cur[1] == c, 1, s % 2)
+                )
+                prefetch(buf, c)  # no-op when resident/in flight
+                # queue the NEXT segment's chunk into the other buffer
+                s_next = jnp.minimum(s + 1, scount - 1)
+                c_next = tbl_ref[2 * n_rows + sfirst + s_next]
+                pl.when((c_next != c) & (cur[1 - buf] != c_next))(
+                    lambda: prefetch(1 - buf, c_next)
+                )
+                wait(buf)
 
                 lanes = rsg == (sfirst + s).astype(jnp.float32)
                 for sub in range(HCHUNK // 128):
                     blk = [
-                        pscratch[kq : kq + 1, sub * 128 : (sub + 1) * 128]
+                        pscratch[buf, kq : kq + 1, sub * 128 : (sub + 1) * 128]
                         for kq in range(10)
                     ]
                     k_base = (c * HCHUNK + sub * 128).astype(jnp.float32)
@@ -139,6 +198,12 @@ def _seg_kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tmax, ign, seg, prim_hbm,
             u_out[0, s8 : s8 + 1, :] = bu
             v_out[0, s8 : s8 + 1, :] = bv
 
+    # drain any in-flight prefetch before the kernel retires
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        wait(0)
+        wait(1)
+
 
 def _run_rows(tbl, cols, prim_chunks, has_tri, has_sph):
     """cols: 9 arrays (R8, 8, 128) [o, d, tmax, ign, seg]; tbl the i32
@@ -157,8 +222,9 @@ def _run_rows(tbl, cols, prim_chunks, has_tri, has_sph):
         in_specs=[ray_spec] * 9 + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[ray_spec] * 4,
         scratch_shapes=[
-            pltpu.VMEM((16, HCHUNK), jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((2, 16, HCHUNK), jnp.float32),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -389,8 +455,15 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             sel_c.append(jnp.where(tmin < _INF, gmin, -1))
             sel_t.append(tmin)
             tn_m = jnp.where(pick, _INF, tn_m)
-        sel_c = jnp.stack(sel_c, 0)  # (K, N') — K on sublanes for reductions
-        sel_t = jnp.stack(sel_t, 0)
+        # uniform (KS, N') state shape across all phases: a ray that hits
+        # an inner-round cap mid-march carries its un-intersected pending
+        # selections through the scatter-back intact (truncating them
+        # skipped chunks => missed hits)
+        pad_rows = ks_total - k_
+        sel_c = jnp.stack(
+            sel_c + [jnp.full((n_,), -1, jnp.int32)] * pad_rows, 0
+        )  # (KS, N') — K on sublanes for reductions
+        sel_t = jnp.stack(sel_t + [jnp.full((n_,), _INF)] * pad_rows, 0)
 
         # post-round frontier: lex-min of (k-th selection, guard), made
         # monotone against the incoming frontier.
@@ -422,14 +495,21 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             jnp.sum(jnp.where(upd, rem_lb[:, :, None], 0.0), axis=1),
             next_lb,
         )
-        return sel_c, sel_t, nf_t, nf_c, next_new
+        # a ray is alive while ANY super still holds eligible chunks —
+        # "no selections this round" is NOT done: the KSUP examined supers
+        # can all be consumed while farther ones still hold work, and a
+        # global exit on empty selections alone dropped such rays (missed
+        # hits at ~1/30k rays on the 1M-tri scene)
+        alive = jnp.any(next_new < best_t[:, None], axis=1)
+        return sel_c, sel_t, nf_t, nf_c, next_new, alive
 
-    def round_body(st, o_, d_, ign_f_, m_pad_, k_):
-        """One traversal round at the state's width: intersect the current
-        selections, merge, select the next round's chunks."""
+    def round_body(st, o_, d_, ign_f_, m_pad_, k_eff, k_):
+        """One traversal round at the state's width: intersect the first
+        k_eff selection rows (the rest are guaranteed empty at this
+        phase), merge, select the next round's chunks at width k_."""
         pt, pp, pu, pv = _pack_and_intersect(
-            st["sel_c"], o_, d_, st["best_t"], ign_f_, prim_chunks, c,
-            has_tri, has_sph, m_pad_,
+            st["sel_c"][:k_eff], o_, d_, st["best_t"], ign_f_, prim_chunks,
+            c, has_tri, has_sph, m_pad_,
         )
         hitp = pp >= 0.0
         ptv = jnp.where(hitp, pt, _INF)
@@ -449,18 +529,20 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             new_u = jnp.where(better, ru, st["best_u"])
             new_v = jnp.where(better, rv, st["best_v"])
 
-        sel_c, sel_t, nf_t, nf_c, lb = select(
+        sel_c, sel_t, nf_t, nf_c, lb, alive = select(
             new_t, st["f_t"], st["f_c"], st["lb"], o_, d_, k_
         )
         return dict(
             best_t=new_t, best_p=new_p, best_u=new_u, best_v=new_v,
             f_t=nf_t, f_c=nf_c, lb=lb, sel_c=sel_c, sel_t=sel_t,
+            alive=alive,
             rounds=st["rounds"] + 1,
         )
 
     # ---- initial state + first selection (full width)
+    ks_total = max(k, k_straggler)
     lb0 = _slab_all(o, d, sup_cb, jnp.full((n,), _INF))  # (N, S)
-    sel_c0, sel_t0, f_t0, f_c0, lb0 = select(
+    sel_c0, sel_t0, f_t0, f_c0, lb0, alive0 = select(
         best_t0, jnp.full((n,), -_INF), jnp.full((n,), -1, jnp.int32), lb0,
         o, d, k,
     )
@@ -470,6 +552,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         best_u=jnp.zeros((n,)),
         best_v=jnp.zeros((n,)),
         f_t=f_t0, f_c=f_c0, lb=lb0, sel_c=sel_c0, sel_t=sel_t0,
+        alive=alive0,
         rounds=jnp.zeros((), jnp.int32),
     )
 
@@ -477,40 +560,44 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     nc = min(n, max(1024, (-(-(n // COMPACT_FRACTION) // 1024)) * 1024))
     full_rounds = max_rounds if nc >= n else FULL_ROUNDS
 
+    def pend_mask(st):
+        # pending = eligible supers remain OR un-intersected selections held
+        return st["alive"] | (st["sel_c"][0] >= 0)
+
     def pending(st):
-        return jnp.any(st["sel_c"][0] >= 0)
+        return jnp.any(pend_mask(st))
 
     st = jax.lax.while_loop(
         lambda st: (st["rounds"] < full_rounds) & pending(st),
-        lambda st: round_body(st, o, d, ign_f, m_pad_full, k),
+        lambda st: round_body(st, o, d, ign_f, m_pad_full, k, k),
         state,
     )
 
-    if nc < n:
-        # ---- straggler compaction: gather the first nc still-pending rays
-        # into a dense sub-problem, run it to completion with an ESCALATED
-        # K (stragglers are long-frontier rays — misses grazing dozens of
-        # chunk boxes — so fat rounds amortize the fixed per-round cost),
-        # scatter back; repeat until no ray is pending.
-        ks = k_straggler
-        m_pad_c = -(-(nc * ks) // 1024) * 1024
+    # ---- straggler compaction: gather the first nc still-pending rays
+    # into a dense sub-problem and run it with an ESCALATED K (stragglers
+    # are long-frontier rays — misses grazing dozens of chunk boxes — so
+    # fat rounds amortize the fixed per-round cost), scatter back, repeat.
+    # Two levels: a bounded bulk pass at n/4, then a completion loop at
+    # n/16 so the late rounds (a few percent of rays live) don't run at
+    # quarter width (profiled r3: 11 x 10 ms compact rounds).
+    def compact_phase(stf0, nc_, inner_cap, outer_cap):
+        ks = ks_total
+        m_pad_c = -(-(nc_ * ks) // 1024) * 1024
         iota_n = jnp.arange(n, dtype=jnp.int32)
-        iota_nc = jnp.arange(nc, dtype=jnp.int32)
-        outer_cap = (n // nc + 2) * 4
+        iota_nc = jnp.arange(nc_, dtype=jnp.int32)
 
         def outer(stf):
-            pend = stf["sel_c"][0] >= 0
+            pend = pend_mask(stf)
             cnt = jnp.cumsum(pend.astype(jnp.int32))
             total = cnt[-1]
-            pos = jnp.where(pend & (cnt <= nc), cnt - 1, nc)
-            idxs = jnp.zeros((nc,), jnp.int32).at[pos].set(iota_n, mode="drop")
+            pos = jnp.where(pend & (cnt <= nc_), cnt - 1, nc_)
+            idxs = jnp.zeros((nc_,), jnp.int32).at[pos].set(iota_n, mode="drop")
             live = iota_nc < total  # duplicate-of-ray-0 padding lanes
 
             o_s, d_s, ign_s = o[idxs], d[idxs], ign_f[idxs]
             # the gathered selections are already BEHIND the advanced
-            # frontier, so they must be intersected, not re-selected: one
-            # k-wide round first (it selects the next round at ks), then
-            # the escalated while-loop
+            # frontier, so the first round intersects them as-is (the
+            # uniform KS-shaped state keeps every pending selection)
             sub = dict(
                 best_t=stf["best_t"][idxs], best_p=stf["best_p"][idxs],
                 best_u=stf["best_u"][idxs], best_v=stf["best_v"][idxs],
@@ -518,14 +605,12 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
                 lb=stf["lb"][idxs],
                 sel_c=jnp.where(live[None], stf["sel_c"][:, idxs], -1),
                 sel_t=stf["sel_t"][:, idxs],
+                alive=live & stf["alive"][idxs],
                 rounds=jnp.zeros((), jnp.int32),
             )
-            m_pad_c0 = -(-(nc * k) // 1024) * 1024
-            sub = round_body(sub, o_s, d_s, ign_s, m_pad_c0, ks)
-
             done = jax.lax.while_loop(
-                lambda s: (s["rounds"] < max_rounds) & jnp.any(s["sel_c"][0] >= 0),
-                lambda s: round_body(s, o_s, d_s, ign_s, m_pad_c, ks),
+                lambda s: (s["rounds"] < inner_cap) & jnp.any(pend_mask(s)),
+                lambda s: round_body(s, o_s, d_s, ign_s, m_pad_c, ks, ks),
                 sub,
             )
 
@@ -533,21 +618,26 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             out = dict(stf)
             for f in ("best_t", "best_p", "best_u", "best_v", "f_t", "f_c"):
                 out[f] = stf[f].at[tgt].set(done[f], mode="drop")
-            # retire the solved rays in the full-width (k-shaped) selection;
-            # a lane still pending at the cap keeps its original selection
-            still = done["sel_c"][0] >= 0
-            out["sel_c"] = stf["sel_c"].at[:, tgt].set(
-                jnp.where(still[None], stf["sel_c"][:, idxs], -1), mode="drop"
-            )
+            # solved rays scatter back all-(-1) selections (retired);
+            # a cap-hit ray keeps its CURRENT pending selection + frontier
+            out["sel_c"] = stf["sel_c"].at[:, tgt].set(done["sel_c"], mode="drop")
+            out["sel_t"] = stf["sel_t"].at[:, tgt].set(done["sel_t"], mode="drop")
+            out["alive"] = stf["alive"].at[tgt].set(done["alive"], mode="drop")
             out["outer"] = stf["outer"] + 1
             return out
 
-        st = jax.lax.while_loop(
+        out = jax.lax.while_loop(
             lambda s: (s["outer"] < outer_cap) & pending(s),
             outer,
-            {**st, "outer": jnp.zeros((), jnp.int32)},
+            {**stf0, "outer": jnp.zeros((), jnp.int32)},
         )
-        st.pop("outer")
+        out.pop("outer")
+        return out
+
+    if nc < n:
+        st = compact_phase(st, nc, 3, 2)  # bulk stragglers, bounded
+        nc2 = min(n, max(1024, (-(-(n // 16) // 1024)) * 1024))
+        st = compact_phase(st, nc2, max_rounds, (n // nc2 + 2) * 6)
 
     if occlude:
         return (best_t0 > 0.0) & (st["best_t"] <= 0.0)

@@ -80,6 +80,21 @@ def test_binned_compaction_phase():
     np.testing.assert_allclose(np.asarray(h.t)[both], np.asarray(r.t)[both], rtol=1e-4)
 
 
+def test_binned_cap_hit_midmarch():
+    """Rays that hit the bounded first compaction level's inner-round cap
+    mid-march must carry their un-intersected pending selections through
+    the scatter-back (regression: truncating them skipped chunks). Many
+    chunks + enough rays to trigger both compaction levels."""
+    geom = _geometry(20000, 500, seed=41)
+    soa = _hier(geom, seed=42)
+    n = 2048
+    o, d = _rays(n, seed=43)
+    ig = jnp.full((n,), -1, jnp.int32)
+    h = bt.trace_binned(geom, soa, o, d, jnp.inf, ig, k=2, k_straggler=4)
+    r = intersect_linear(geom, o, d, jnp.inf, ig)
+    np.testing.assert_array_equal(np.asarray(h.prim), np.asarray(r.prim))
+
+
 def test_binned_multi_super_level():
     """Enough chunks for several superchunks (two-level selection paths:
     guard-capped frontier, exhausted-super marking)."""
