@@ -38,13 +38,25 @@ def main():
     d_r = jnp.asarray(dd / np.linalg.norm(dd, axis=-1, keepdims=True))
     ig = jnp.full((n_rays,), -1, jnp.int32)
 
-    run = lambda: bt.trace_binned(geom, hier, o_r, d_r, jnp.inf, ig)
+    k = int(os.environ.get("ECHO_BT_K", "2"))
+    ks = int(os.environ.get("ECHO_BT_KS", "8"))
+    run = lambda: bt.trace_binned(
+        geom, hier, o_r, d_r, jnp.inf, ig, k=k, k_straggler=ks
+    )
     sync(run().t)  # compile + warm
-    out_dir = "/tmp/xp_binned"
-    os.system(f"rm -rf {out_dir}")
-    with jax.profiler.trace(out_dir):
+    print(f"HCHUNK={bt.HCHUNK} k={k} ks={ks} FULL={bt.FULL_ROUNDS} "
+          f"CF={bt.COMPACT_FRACTION} KSUP={bt.KSUP} SUP={bt.SUP}", flush=True)
+    for _ in range(3):
+        t0 = time.perf_counter()
         sync(run().t)
-    print("trace captured", flush=True)
+        dt = time.perf_counter() - t0
+        print(f"{n_rays/dt/1e6:.3f} Mrays/s ({dt*1e3:.0f} ms)", flush=True)
+    if os.environ.get("ECHO_BT_TRACE"):
+        out_dir = "/tmp/xp_binned"
+        os.system(f"rm -rf {out_dir}")
+        with jax.profiler.trace(out_dir):
+            sync(run().t)
+        print("trace captured", flush=True)
 
 
 main()

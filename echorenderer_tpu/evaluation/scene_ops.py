@@ -55,6 +55,17 @@ def _use_hier(scene) -> bool:
     return not dense_ok or soa.padded >= HIER_TRACE_MIN
 
 
+def _use_binned(scene) -> bool:
+    """Per-ray binned traversal (ops/binned_trace.py) is the production
+    path for big non-instanced scenes: it beats the packet walk ~7x on
+    incoherent bounce rays (250k tris random: 1.1 vs 0.17 Mrays/s) and
+    keeps exact prim/findFar agreement. ECHO_NO_BINNED=1 restores the
+    packet walk for A/B runs."""
+    import os
+
+    return not os.environ.get("ECHO_NO_BINNED") and _use_hier(scene)
+
+
 def _use_pallas(scene) -> bool:
     from ..ops.pallas_intersect import VMEM_PRIM_LIMIT
 
@@ -77,6 +88,10 @@ def trace(scene: PreparedScene, o, d, t_max, ignore, ignore_inst=None) -> Hit:
         )
     if scene.geometry.num_primitives < LINEAR_THRESHOLD:
         return intersect_linear(scene.geometry, o, d, t_max, ignore)
+    if _use_binned(scene):
+        from ..ops.binned_trace import trace_binned
+
+        return trace_binned(scene.geometry, scene.hier_soa, o, d, t_max, ignore)
     if _use_hier(scene):
         from ..ops.pallas_hier import intersect_hier
 
@@ -97,6 +112,10 @@ def occlude(scene: PreparedScene, o, d, t_max, ignore, ignore_inst=None) -> jax.
         )
     if scene.geometry.num_primitives < LINEAR_THRESHOLD:
         return occlude_linear(scene.geometry, o, d, t_max, ignore)
+    if _use_binned(scene):
+        from ..ops.binned_trace import occlude_binned
+
+        return occlude_binned(scene.geometry, scene.hier_soa, o, d, t_max, ignore)
     if _use_hier(scene):
         from ..ops.pallas_hier import occlude_hier
 

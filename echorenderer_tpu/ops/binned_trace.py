@@ -54,8 +54,8 @@ _INF = 3.4e38
 ROW = 128  # rays per kernel sub-row
 SUP = 16  # chunks per superchunk (two-level selection)
 KSUP = 4  # superchunks refined per ray per round
-FULL_ROUNDS = 2  # full-width rounds before straggler compaction
-COMPACT_FRACTION = 4  # compact phase width = n / this
+FULL_ROUNDS = 1  # full-width rounds before straggler compaction
+COMPACT_FRACTION = 8  # compact phase width = n / this
 
 
 # ---------------------------------------------------------------------------
@@ -396,17 +396,21 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         failure mode of ranking by the static box entry."""
         n_ = o_.shape[0]
         keyed = jnp.where(next_lb < best_t[:, None], next_lb, _INF)  # (N', S)
-        sup_sel, sup_t = [], []
-        tn_sm = keyed
-        for _j in range(KSUP):
-            sidx = jnp.argmin(tn_sm, axis=1).astype(jnp.int32)
-            sv = jnp.take_along_axis(tn_sm, sidx[:, None], axis=1)[:, 0]
-            sup_sel.append(sidx)
-            sup_t.append(sv)
-            tn_sm = jnp.where(iota_s[None] == sidx[:, None], _INF, tn_sm)
-        guard = jnp.min(tn_sm, axis=1)  # nearest un-gathered super's bound
-        sup_sel = jnp.stack(sup_sel, 1)  # (N', KSUP)
-        sup_ok = jnp.stack(sup_t, 1) < _INF
+        # rank supers with ONE stable row-sort (ties -> lowest index, same
+        # as the argmin chain it replaces, which cost 4 full (N', S)
+        # passes — 25 ms/call at 230k lanes in the wavefront profile)
+        pad_s = max(KSUP + 1 - keyed.shape[1], 0)  # scenes with few supers
+        if pad_s:
+            keyed = jnp.pad(keyed, ((0, 0), (0, pad_s)), constant_values=_INF)
+        iota_rows = jnp.broadcast_to(
+            jnp.minimum(jnp.arange(keyed.shape[1], dtype=jnp.int32), s_count - 1)[None],
+            keyed.shape,
+        )
+        kv, ki = jax.lax.sort((keyed, iota_rows), num_keys=1, dimension=1)
+        sup_sel = ki[:, :KSUP].astype(jnp.int32)  # (N', KSUP)
+        sup_t = kv[:, :KSUP]
+        guard = kv[:, KSUP]
+        sup_ok = sup_t < _INF
 
         glob = (sup_sel[:, :, None] * SUP + iota_sup[None, None, :]).reshape(
             n_, KSUP * SUP
@@ -443,27 +447,13 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         )
         tn_m = jnp.where(elig, tn_c, _INF)
 
-        # k nearest by strict (t, chunk-id) lex order: argmin on t, then
-        # the smallest global id among the tied entries
-        sel_c, sel_t = [], []
-        for _k in range(k_):
-            tmin = jnp.min(tn_m, axis=1)
-            gmin = jnp.min(
-                jnp.where(tn_m == tmin[:, None], glob, jnp.int32(2**30)), axis=1
-            )
-            pick = (tn_m == tmin[:, None]) & (glob == gmin[:, None])
-            sel_c.append(jnp.where(tmin < _INF, gmin, -1))
-            sel_t.append(tmin)
-            tn_m = jnp.where(pick, _INF, tn_m)
-        # uniform (KS, N') state shape across all phases: a ray that hits
-        # an inner-round cap mid-march carries its un-intersected pending
-        # selections through the scatter-back intact (truncating them
-        # skipped chunks => missed hits)
-        pad_rows = ks_total - k_
-        sel_c = jnp.stack(
-            sel_c + [jnp.full((n_,), -1, jnp.int32)] * pad_rows, 0
-        )  # (KS, N') — K on sublanes for reductions
-        sel_t = jnp.stack(sel_t + [jnp.full((n_,), _INF)] * pad_rows, 0)
+        # k nearest by strict (t, chunk-id) lex order: ONE two-key row
+        # sort replaces the k-pass argmin/tie-break chain
+        ts, gs = jax.lax.sort((tn_m, glob), num_keys=2, dimension=1)
+        sel_t_n = ts[:, :k_]  # (N', k)
+        sel_c_n = jnp.where(sel_t_n < _INF, gs[:, :k_], -1)
+        sel_c = sel_c_n.T  # (k, N') — K on sublanes for reductions
+        sel_t = sel_t_n.T
 
         # post-round frontier: lex-min of (k-th selection, guard), made
         # monotone against the incoming frontier.
@@ -495,20 +485,20 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             jnp.sum(jnp.where(upd, rem_lb[:, :, None], 0.0), axis=1),
             next_lb,
         )
-        # a ray is alive while ANY super still holds eligible chunks —
-        # "no selections this round" is NOT done: the KSUP examined supers
-        # can all be consumed while farther ones still hold work, and a
-        # global exit on empty selections alone dropped such rays (missed
-        # hits at ~1/30k rays on the 1M-tri scene)
-        alive = jnp.any(next_new < best_t[:, None], axis=1)
-        return sel_c, sel_t, nf_t, nf_c, next_new, alive
+        return sel_c, sel_t, nf_t, nf_c, next_new
 
-    def round_body(st, o_, d_, ign_f_, m_pad_, k_eff, k_):
-        """One traversal round at the state's width: intersect the first
-        k_eff selection rows (the rest are guaranteed empty at this
-        phase), merge, select the next round's chunks at width k_."""
+    def round_body(st, o_, d_, ign_f_, m_pad_, k_):
+        """One traversal round at the state's width: SELECT each ray's k_
+        nearest unvisited chunks, intersect them, merge. Selecting first
+        means the state carries no pending selections — (best, frontier,
+        lb) is always self-consistent, so phase handoffs and inner-round
+        caps need no selection plumbing (and each call saves one
+        full-width select vs the intersect-then-select ordering)."""
+        sel_c, sel_t, nf_t, nf_c, lb = select(
+            st["best_t"], st["f_t"], st["f_c"], st["lb"], o_, d_, k_
+        )
         pt, pp, pu, pv = _pack_and_intersect(
-            st["sel_c"][:k_eff], o_, d_, st["best_t"], ign_f_, prim_chunks,
+            sel_c, o_, d_, st["best_t"], ign_f_, prim_chunks,
             c, has_tri, has_sph, m_pad_,
         )
         hitp = pp >= 0.0
@@ -529,30 +519,22 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             new_u = jnp.where(better, ru, st["best_u"])
             new_v = jnp.where(better, rv, st["best_v"])
 
-        sel_c, sel_t, nf_t, nf_c, lb, alive = select(
-            new_t, st["f_t"], st["f_c"], st["lb"], o_, d_, k_
-        )
         return dict(
             best_t=new_t, best_p=new_p, best_u=new_u, best_v=new_v,
-            f_t=nf_t, f_c=nf_c, lb=lb, sel_c=sel_c, sel_t=sel_t,
-            alive=alive,
+            f_t=nf_t, f_c=nf_c, lb=lb,
             rounds=st["rounds"] + 1,
         )
 
-    # ---- initial state + first selection (full width)
-    ks_total = max(k, k_straggler)
+    # ---- initial state (full width); the first round selects from it
     lb0 = _slab_all(o, d, sup_cb, jnp.full((n,), _INF))  # (N, S)
-    sel_c0, sel_t0, f_t0, f_c0, lb0, alive0 = select(
-        best_t0, jnp.full((n,), -_INF), jnp.full((n,), -1, jnp.int32), lb0,
-        o, d, k,
-    )
     state = dict(
         best_t=best_t0,
         best_p=jnp.full((n,), -1.0),
         best_u=jnp.zeros((n,)),
         best_v=jnp.zeros((n,)),
-        f_t=f_t0, f_c=f_c0, lb=lb0, sel_c=sel_c0, sel_t=sel_t0,
-        alive=alive0,
+        f_t=jnp.full((n,), -_INF),
+        f_c=jnp.full((n,), -1, jnp.int32),
+        lb=lb0,
         rounds=jnp.zeros((), jnp.int32),
     )
 
@@ -561,15 +543,16 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     full_rounds = max_rounds if nc >= n else FULL_ROUNDS
 
     def pend_mask(st):
-        # pending = eligible supers remain OR un-intersected selections held
-        return st["alive"] | (st["sel_c"][0] >= 0)
+        # pending = some super still holds chunks that could beat best_t
+        # (lb rows tighten to INF as supers are consumed)
+        return jnp.any(st["lb"] < st["best_t"][:, None], axis=1)
 
     def pending(st):
         return jnp.any(pend_mask(st))
 
     st = jax.lax.while_loop(
         lambda st: (st["rounds"] < full_rounds) & pending(st),
-        lambda st: round_body(st, o, d, ign_f, m_pad_full, k, k),
+        lambda st: round_body(st, o, d, ign_f, m_pad_full, k),
         state,
     )
 
@@ -581,7 +564,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     # n/16 so the late rounds (a few percent of rays live) don't run at
     # quarter width (profiled r3: 11 x 10 ms compact rounds).
     def compact_phase(stf0, nc_, inner_cap, outer_cap):
-        ks = ks_total
+        ks = k_straggler
         m_pad_c = -(-(nc_ * ks) // 1024) * 1024
         iota_n = jnp.arange(n, dtype=jnp.int32)
         iota_nc = jnp.arange(nc_, dtype=jnp.int32)
@@ -595,22 +578,18 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             live = iota_nc < total  # duplicate-of-ray-0 padding lanes
 
             o_s, d_s, ign_s = o[idxs], d[idxs], ign_f[idxs]
-            # the gathered selections are already BEHIND the advanced
-            # frontier, so the first round intersects them as-is (the
-            # uniform KS-shaped state keeps every pending selection)
             sub = dict(
-                best_t=stf["best_t"][idxs], best_p=stf["best_p"][idxs],
+                # dead padding lanes get best_t 0: nothing is ever eligible
+                best_t=jnp.where(live, stf["best_t"][idxs], 0.0),
+                best_p=stf["best_p"][idxs],
                 best_u=stf["best_u"][idxs], best_v=stf["best_v"][idxs],
                 f_t=stf["f_t"][idxs], f_c=stf["f_c"][idxs],
                 lb=stf["lb"][idxs],
-                sel_c=jnp.where(live[None], stf["sel_c"][:, idxs], -1),
-                sel_t=stf["sel_t"][:, idxs],
-                alive=live & stf["alive"][idxs],
                 rounds=jnp.zeros((), jnp.int32),
             )
             done = jax.lax.while_loop(
                 lambda s: (s["rounds"] < inner_cap) & jnp.any(pend_mask(s)),
-                lambda s: round_body(s, o_s, d_s, ign_s, m_pad_c, ks, ks),
+                lambda s: round_body(s, o_s, d_s, ign_s, m_pad_c, ks),
                 sub,
             )
 
@@ -618,11 +597,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             out = dict(stf)
             for f in ("best_t", "best_p", "best_u", "best_v", "f_t", "f_c"):
                 out[f] = stf[f].at[tgt].set(done[f], mode="drop")
-            # solved rays scatter back all-(-1) selections (retired);
-            # a cap-hit ray keeps its CURRENT pending selection + frontier
-            out["sel_c"] = stf["sel_c"].at[:, tgt].set(done["sel_c"], mode="drop")
-            out["sel_t"] = stf["sel_t"].at[:, tgt].set(done["sel_t"], mode="drop")
-            out["alive"] = stf["alive"].at[tgt].set(done["alive"], mode="drop")
+            out["lb"] = stf["lb"].at[tgt].set(done["lb"], mode="drop")
             out["outer"] = stf["outer"] + 1
             return out
 
@@ -636,7 +611,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
 
     if nc < n:
         st = compact_phase(st, nc, 3, 2)  # bulk stragglers, bounded
-        nc2 = min(n, max(1024, (-(-(n // 16) // 1024)) * 1024))
+        nc2 = min(n, max(1024, (-(-(n // 32) // 1024)) * 1024))
         st = compact_phase(st, nc2, max_rounds, (n // nc2 + 2) * 6)
 
     if occlude:
@@ -650,7 +625,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
 
 
 def trace_binned(geom, soa: HierSoA, o, d, t_max, ignore, *,
-                 rounds: int = 4096, k: int = 2, k_straggler: int = 16) -> Hit:
+                 rounds: int = 4096, k: int = 2, k_straggler: int = 8) -> Hit:
     """Closest-hit via binned traversal; same contract as intersect_hier
     (non-instanced scenes: Hit.prim in storage ids, findFar semantics).
     `rounds` is a safety cap — the loop normally runs until every ray's
@@ -678,7 +653,7 @@ def trace_binned(geom, soa: HierSoA, o, d, t_max, ignore, *,
 
 def occlude_binned(geom, soa: HierSoA, o, d, t_max, ignore, *,
                    rounds: int = 4096, k: int = 2,
-                   k_straggler: int = 16) -> jax.Array:
+                   k_straggler: int = 8) -> jax.Array:
     """Any-hit within (EPS, t_max) via binned traversal; same contract as
     occlude_hier."""
     assert not soa.instanced, "binned traversal: instancing via scene_ops dispatch"
