@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..ops.intersect import INF
 from ..scene.prepare import LIGHT_AMBIENT, PreparedScene
 from ..utils import colors, vec
+from ..utils.diagnostics import dcheck
 from ..utils.rng import SampleStream
 from . import bsdf as bsdf_mod
 from . import scene_ops
@@ -180,6 +181,13 @@ def path_step(
 
     wi_world = vec.to_world(bs.incident, tangent, bitangent, contact.shade_normal)
     cont_o = _offset_origin(contact.point, contact.geo_normal, wi_world)
+
+    # device-side invariants (reference Ensure.cs class of checks); no-ops
+    # unless ECHO_DEBUG_DEVICE=1 and the program runs via run_checked
+    dcheck(jnp.isfinite(radiance), "path_step: non-finite radiance")
+    dcheck(jnp.isfinite(new_tp) & (new_tp >= 0.0),
+           "path_step: invalid throughput (NaN/Inf/negative)")
+    dcheck(~has_bounce | (bs.pdf >= 0.0), "path_step: negative BSDF pdf")
 
     return dict(
         radiance=radiance,

@@ -26,6 +26,7 @@ from ..evaluation import integrators
 from ..scene.cameras import spawn_rays
 from ..scene.prepare import PreparedScene
 from ..utils import accumulator as acc_mod
+from ..utils import diagnostics
 from ..utils.rng import SampleStream
 
 EVALUATORS: dict[str, Callable] = {
@@ -474,7 +475,7 @@ def render_layer(
         epoch = 0
 
     for epoch in range(first_epoch, full_epochs):
-        s_sum, s_sq = _sample_frame_jit(
+        sample_args = (
             scene,
             profile.evaluator,
             tuple(resolution),
@@ -484,6 +485,13 @@ def render_layer(
             profile.bounce_limit,
             profile.survivability,
         )
+        if epoch == first_epoch and diagnostics.device_checks_enabled():
+            # debug builds (ECHO_DEBUG_DEVICE=1 / --debug-device): run the
+            # first epoch through checkify so path_step's dcheck asserts
+            # (Ensure.cs analogue) raise with their messages
+            s_sum, s_sq = diagnostics.run_checked(_sample_frame, *sample_args)
+        else:
+            s_sum, s_sq = _sample_frame_jit(*sample_args)
         k = jnp.full((n, 1), float(profile.samples_per_epoch))
         acc = acc_mod.add_many(acc, s_sum, s_sq, k)
         total_samples += profile.samples_per_epoch * n

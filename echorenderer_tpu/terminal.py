@@ -49,6 +49,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--watch", action="store_true",
                     help="with -p: re-render whenever the .echo file changes "
                          "(reference SchedulerUI save-to-reschedule)")
+    ap.add_argument("--debug-device", action="store_true",
+                    help="enable device-side checkify assertions in the hot "
+                         "path (reference DEBUG Ensure checks); slower")
+    ap.add_argument("--log-level", default=None,
+                    help="echo.* logger level (DEBUG/INFO/WARNING); default "
+                         "WARNING or $ECHO_LOG_LEVEL")
     return ap
 
 
@@ -198,10 +204,19 @@ def _render_once(args, prof, state, monitor):
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    import os
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.debug_device:
+        os.environ["ECHO_DEBUG_DEVICE"] = "1"
+        os.environ.setdefault("ECHO_DEBUG", "1")
+    if args.log_level:
+        from .utils.diagnostics import set_log_level
+
+        set_log_level(args.log_level)
 
     prof = load_profile(args)
     if prof.scene is None:
