@@ -148,6 +148,39 @@ def sphere_field(count: int = 80, seed: int = 3) -> Scene:
     return scene
 
 
+def instanced_grid(side: int = 3, seed: int = 11) -> Scene:
+    """A TLAS showcase: ONE two-sphere pack instanced side*side times with
+    per-instance transforms and material swatches (reference
+    Scenic/Hierarchies/PackInstance.cs + SwatchExtractor) — exercises the
+    instance-leaf traversal path end-to-end."""
+    from ..scene import EntityPack, PackInstance
+
+    rs = np.random.RandomState(seed)
+    base = Diffuse(albedo=(0.8, 0.8, 0.8))
+    pack = EntityPack()
+    pack.add(SphereEntity(radius=0.5, material=base))
+    pack.add(SphereEntity(radius=0.22, material=Conductor(
+        albedo=(0.9, 0.7, 0.3), roughness=0.15), position=(0, 0.75, 0)))
+
+    scene = Scene()
+    scene.add(PlaneEntity(size=(40, 40), material=Diffuse(albedo=(0.5, 0.5, 0.5))))
+    for i in range(side):
+        for j in range(side):
+            c = rs.uniform(0.2, 0.95, 3)
+            scene.add(PackInstance(
+                pack,
+                material_swatch={base: Diffuse(albedo=tuple(c))},
+                position=(2.2 * (i - (side - 1) / 2), 0.5,
+                          2.2 * (j - (side - 1) / 2)),
+                scale=float(rs.uniform(0.7, 1.2)),
+            ))
+    scene.add(AmbientLight(intensity=(0.55, 0.6, 0.7)))
+    cam = PerspectiveCamera(field_of_view=55.0, position=(0, 4.5, -8.5))
+    cam.look_at((0, 0.4, 0))
+    scene.add(cam)
+    return scene
+
+
 def hdr_environment(hdr_path=None, resolution=(256, 128), sun_elevation=35.0) -> Scene:
     """HDR-environment showcase (BASELINE config #4): glossy + diffuse +
     glass objects under an importance-sampled equirectangular sky. Uses a

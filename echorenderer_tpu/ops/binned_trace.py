@@ -51,9 +51,15 @@ from .pallas_hier import HCHUNK, HierSoA, _sorted_ignore
 from .pallas_intersect import _chunk_hits, _interpret
 
 _INF = 3.4e38
+_INT_INF = 2**31 - 1  # key-space sentinel: empty candidate / consumed super
 ROW = 128  # rays per kernel sub-row
 SUP = 16  # chunks per superchunk (two-level selection)
-KSUP = 4  # superchunks refined per ray per round
+KSUP = 4  # superchunks examined per ray per refill (full/bulk phases)
+TAIL_KSUP = 8  # ... straggler phase (long rays span many supers)
+TAIL_K = 32  # chunks intersected per straggler ray per round
+CAND = 160  # per-ray candidate-buffer slots (>= TAIL_KSUP*SUP + TAIL_K - 1,
+#             so a refill can never overflow the buffer: refills only fire
+#             when fewer than `k` live entries remain)
 FULL_ROUNDS = 1  # full-width rounds before straggler compaction
 COMPACT_FRACTION = 8  # compact phase width = n / this
 
@@ -268,10 +274,6 @@ def _slab_all(o, d, cb, limit):
     return jnp.where(ok, tn, _INF)
 
 
-def _lex_gt(t_a, c_a, t_b, c_b):
-    return (t_a > t_b) | ((t_a == t_b) & (c_a > c_b))
-
-
 def _pack_and_intersect(sel_c, o, d, best_t, ign_f, prim_chunks,
                         n_chunks, has_tri, has_sph, m_pad):
     """Pack this round's (ray, chunk) pairs into chunk-sorted segment rows,
@@ -337,6 +339,26 @@ def _pack_and_intersect(sel_c, o, d, best_t, ign_f, prim_chunks,
 )
 def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
                        has_tri, has_sph, k, k_straggler, occlude, max_rounds):
+    """Candidate-buffer traversal (v3). Each ray carries:
+
+      * sup_ord (N, S): its supers sorted by box-entry distance, packed as
+        monotone-f32-bits keys (read-only after setup) — the ray's entire
+        traversal ORDER precomputed in one single-operand sort;
+      * cursor: how many supers it has examined (monotone, exactly-once);
+      * cand (N, CAND): packed (entry, chunk-id) keys of every eligible
+        chunk of every examined super that has not been intersected yet.
+
+    A round is: purge candidates the shrinking best_t has pruned; rays low
+    on candidates examine their next KSUP supers (refill — slab test all
+    their chunks, one-hot MXU bounds fetch); ONE single-operand row sort
+    of (cand ++ new) yields the k nearest; pop them positionally, batch
+    them through the chunk-major Pallas kernel, merge hits. No per-round
+    super re-ranking, no advancing-frontier bookkeeping: exactly-once
+    follows from the cursor and pop-by-removal (workload data,
+    benchmarks/binned_workload.py: mean 7 eligible / 3.5 needed chunks
+    per 1M-tri random ray — rounds must cost sorting + kernel, nothing
+    else). Keys truncate entry-t mantissa bits to hold the id; truncation
+    rounds t DOWN, so ordering/pruning stay conservative (never skips)."""
     n = o.shape[0]
     c = cb.shape[0]
     ign_f = ign_sorted.astype(jnp.float32)
@@ -344,10 +366,15 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)), _INF
     )
 
-    # ---- two-level chunk selection tables (computed once per trace):
-    # supers of SUP consecutive chunks (BVH-leaf order => spatially tight)
+    # ---- two-level tables (once per trace): supers of SUP consecutive
+    # chunks (BVH-leaf order => spatially tight)
     s_count = -(-c // SUP)
     c_pad = s_count * SUP
+    cbits = max(1, (c_pad - 1).bit_length())  # chunk id bits in a cand key
+    sbits = max(1, (s_count - 1).bit_length())
+    assert cbits <= 20, "chunk-key id field would leave <3 mantissa bits"
+    cmask = (1 << cbits) - 1
+    smask = (1 << sbits) - 1
     cb_box = jnp.concatenate(  # ±INF pads: neutral for super min/max
         [
             cb,
@@ -362,73 +389,83 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     sup_hi = cb_box[:, 3:6].reshape(s_count, SUP, 3).max(axis=1)
     sup_cb = jnp.concatenate([sup_lo, sup_hi], axis=1)  # (S, 6)
     # lookup pads are (+INF, +INF): a degenerate box at infinity fails the
-    # slab test on every ray, so pad chunks are never selected (±INF pads
-    # make tn = -INF < tf = +INF — eligible with a frontier-hijacking -INF
-    # entry distance)
+    # slab test on every ray, so pad chunks are never selected
     cb_look = jnp.concatenate(
         [cb, jnp.full((c_pad - c, 6), _INF, jnp.float32)], axis=0
     )
-    # block-diagonal lookup table: ONE (N, KSUP*S) one-hot matmul fetches
-    # all KSUP examined supers' chunk bounds as six (N, KSUP*SUP) arrays —
-    # component-major, so no minor-dim-6 layouts anywhere (profiled r3:
-    # the (N, 64, 6) form ran at ~5% lane efficiency, 23 ms/round)
-    eye_k = jnp.eye(KSUP, dtype=jnp.float32)
-    t_all = jnp.concatenate(
-        [
-            jnp.kron(eye_k, cb_look[:, comp].reshape(s_count, SUP))
-            for comp in range(6)
-        ],
-        axis=1,
-    )  # (KSUP*S, 6*KSUP*SUP)
+    # block-diagonal lookup tables (one per refill width): ONE (N, ksup*S)
+    # one-hot matmul fetches the examined supers' chunk bounds as six
+    # (N, ksup*SUP) component-major arrays (minor-dim-6 layouts ran at ~5%
+    # lane efficiency)
+    def make_t_all(ksup):
+        eye_k = jnp.eye(ksup, dtype=jnp.float32)
+        return jnp.concatenate(
+            [
+                jnp.kron(eye_k, cb_look[:, comp].reshape(s_count, SUP))
+                for comp in range(6)
+            ],
+            axis=1,
+        )  # (ksup*S, 6*ksup*SUP)
+
     iota_s = jnp.arange(s_count, dtype=jnp.int32)
     iota_sup = jnp.arange(SUP, dtype=jnp.int32)
-    iota_ks = jnp.arange(KSUP * s_count, dtype=jnp.int32)
 
-    def select(best_t, f_t, f_c, next_lb, o_, d_, k_):
-        """Each ray's k nearest unvisited chunks through the super level.
+    def enc(t, ids, bits):
+        """Monotone (t, id) packing: positive-f32 bits compare like ints,
+        so clearing the low `bits` mantissa bits (rounds t DOWN —
+        conservative) leaves room for the id as a tiebreak."""
+        tb = jax.lax.bitcast_convert_type(jnp.maximum(t, 0.0), jnp.int32)
+        key = (tb & ~jnp.int32((1 << bits) - 1)) | ids
+        return jnp.where(t < _INF, key, _INT_INF)
 
-        `next_lb` (N', S) is each super's ADVANCING lower bound on its
-        remaining eligible chunks' entry distance: initialized to the
-        super-box slab entry and, once a super is examined, tightened to
-        the min eligible chunk tn that survived the round (INF when
-        consumed). Ranking + guard use it, so consumed-near supers rotate
-        out of the gather slots instead of stalling the frontier — the
-        failure mode of ranking by the static box entry."""
-        n_ = o_.shape[0]
-        keyed = jnp.where(next_lb < best_t[:, None], next_lb, _INF)  # (N', S)
-        # rank supers with ONE stable row-sort (ties -> lowest index, same
-        # as the argmin chain it replaces, which cost 4 full (N', S)
-        # passes — 25 ms/call at 230k lanes in the wavefront profile)
-        pad_s = max(KSUP + 1 - keyed.shape[1], 0)  # scenes with few supers
-        if pad_s:
-            keyed = jnp.pad(keyed, ((0, 0), (0, pad_s)), constant_values=_INF)
-        iota_rows = jnp.broadcast_to(
-            jnp.minimum(jnp.arange(keyed.shape[1], dtype=jnp.int32), s_count - 1)[None],
-            keyed.shape,
+    def dec_t(key, bits):
+        f = jax.lax.bitcast_convert_type(
+            key & ~jnp.int32((1 << bits) - 1), jnp.float32
         )
-        kv, ki = jax.lax.sort((keyed, iota_rows), num_keys=1, dimension=1)
-        sup_sel = ki[:, :KSUP].astype(jnp.int32)  # (N', KSUP)
-        sup_t = kv[:, :KSUP]
-        guard = kv[:, KSUP]
-        sup_ok = sup_t < _INF
+        return jnp.where(key == _INT_INF, _INF, f)
 
+    def extract_sup(sup_ord_, pos):
+        """sup_ord_[i, pos[i]] for each ray (mask-sum — per-ray element
+        gathers are pathologically slow on TPU); _INT_INF past the end."""
+        key = jnp.sum(
+            jnp.where(iota_s[None] == pos[:, None], sup_ord_, 0), axis=1
+        )
+        return jnp.where(pos < s_count, key, _INT_INF)
+
+    def refill(st, o_, d_, do_refill, ksup, t_all_k, sup_ord_):
+        """Examine each refilling ray's next `ksup` supers: slab-test all
+        their SUP chunks and return packed candidate keys for the eligible
+        ones ((n, ksup*SUP), _INT_INF elsewhere), plus the advanced cursor
+        and the next unexamined super's key."""
+        n_ = o_.shape[0]
+        cursor, best_t = st["cursor"], st["best_t"]
+        sup_key = jnp.stack(
+            [extract_sup(sup_ord_, cursor + j) for j in range(ksup)], axis=1
+        )  # (n, ksup)
+        sup_t = dec_t(sup_key, sbits)
+        sup_ok = do_refill[:, None] & (sup_key != _INT_INF) & (
+            sup_t < best_t[:, None]
+        )
+        sup_sel = jnp.where(sup_ok, sup_key & smask, 0)  # ids (0 if unused)
         glob = (sup_sel[:, :, None] * SUP + iota_sup[None, None, :]).reshape(
-            n_, KSUP * SUP
-        )  # (N', G) global chunk ids (pad chunks fail the slab test)
-        # fetch the examined supers' chunk bounds via ONE one-hot matmul
-        # against the block-diagonal component-major table: a per-ray row
-        # gather runs at ~1-2 GiB/s, and the (N, G, 6) layout the old
-        # per-super lookup produced ran at ~5% lane efficiency
-        targ = sup_sel + iota_s.shape[0] * jnp.arange(KSUP, dtype=jnp.int32)[None]
-        oh = jnp.zeros((n_, KSUP * s_count), jnp.float32)
-        for j in range(KSUP):
-            oh = oh + (iota_ks[None] == targ[:, j : j + 1]).astype(jnp.float32)
+            n_, ksup * SUP
+        )
+        oh = jnp.concatenate(
+            [
+                jnp.where(
+                    sup_ok[:, j : j + 1], iota_s[None] == sup_sel[:, j : j + 1],
+                    False,
+                ).astype(jnp.float32)
+                for j in range(ksup)
+            ],
+            axis=1,
+        )  # (n, ksup*S) one-hot rows
         g = jnp.dot(
-            oh, t_all,
+            oh, t_all_k,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,  # exact (one-hot gather)
-        )  # (N', 6G): [lo_x | lo_y | lo_z | hi_x | hi_y | hi_z] blocks
-        gdim = KSUP * SUP
+        )  # (n, 6G): [lo_x | lo_y | lo_z | hi_x | hi_y | hi_z] blocks
+        gdim = ksup * SUP
         inv = _inv_dir(d_)
         tn_c = tf_c = None
         for a in range(3):
@@ -438,74 +475,48 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             tf_a = jnp.maximum(t0, t1)
             tn_c = tn_a if tn_c is None else jnp.maximum(tn_c, tn_a)
             tf_c = tf_a if tf_c is None else jnp.minimum(tf_c, tf_a)
-        ok = (tn_c <= tf_c) & (tf_c > 0.0) & (tn_c < best_t[:, None])
-        tn_c = jnp.where(ok, tn_c, _INF)  # raw entry; see _slab_all
-        elig = (
-            (tn_c < _INF)
-            & _lex_gt(tn_c, glob, f_t[:, None], f_c[:, None])
+        ok = (
+            (tn_c <= tf_c) & (tf_c > 0.0) & (tn_c < best_t[:, None])
             & jnp.repeat(sup_ok, SUP, axis=1)
         )
-        tn_m = jnp.where(elig, tn_c, _INF)
-
-        # k nearest by strict (t, chunk-id) lex order: ONE two-key row
-        # sort replaces the k-pass argmin/tie-break chain
-        ts, gs = jax.lax.sort((tn_m, glob), num_keys=2, dimension=1)
-        sel_t_n = ts[:, :k_]  # (N', k)
-        sel_c_n = jnp.where(sel_t_n < _INF, gs[:, :k_], -1)
-        sel_c = sel_c_n.T  # (k, N') — K on sublanes for reductions
-        sel_t = sel_t_n.T
-
-        # post-round frontier: lex-min of (k-th selection, guard), made
-        # monotone against the incoming frontier.
-        # STRICT lt < guard: an un-gathered chunk can share tn == guard
-        # with a smaller id than the k-th pick — (guard, -1) keeps it
-        # eligible (re-intersecting already-selected ties is idempotent)
-        any_sel = sel_t < _INF
-        lt = jnp.max(jnp.where(any_sel, sel_t, -_INF), axis=0)
-        lc = jnp.max(
-            jnp.where((sel_t == lt[None]) & any_sel, sel_c, -1), axis=0
+        new_keys = enc(jnp.where(ok, tn_c, _INF), glob, cbits)
+        adv = jnp.where(do_refill, jnp.int32(ksup), 0)
+        new_cursor = cursor + adv
+        next_sup = jnp.where(
+            do_refill, extract_sup(sup_ord_, new_cursor), st["next_sup"]
         )
-        has = jnp.any(any_sel, axis=0)
-        cand_t = jnp.where(has & (lt < guard), lt, guard)
-        cand_c = jnp.where(has & (lt < guard), lc, -1)
-        adv = _lex_gt(cand_t, cand_c, f_t, f_c)
-        nf_t = jnp.where(adv, cand_t, f_t)
-        nf_c = jnp.where(adv, cand_c, f_c)
+        return new_keys, new_cursor, next_sup
 
-        # tighten the examined supers' bounds: min chunk tn still eligible
-        # AFTER this round's frontier (INF = consumed; eligibility only
-        # shrinks, so the tightened bound stays valid forever)
-        still = elig & _lex_gt(tn_c, glob, nf_t[:, None], nf_c[:, None])
-        rem_lb = jnp.min(
-            jnp.where(still, tn_c, _INF).reshape(n_, KSUP, SUP), axis=2
-        )  # (N', KSUP)
-        upd = (iota_s[None, None, :] == sup_sel[:, :, None]) & sup_ok[:, :, None]
-        next_new = jnp.where(
-            jnp.any(upd, axis=1),
-            jnp.sum(jnp.where(upd, rem_lb[:, :, None], 0.0), axis=1),
-            next_lb,
+    def round_body(st, o_, d_, ign_f_, m_pad_, k_, ksup, t_all_k, sup_ord_):
+        """One round: purge, refill-if-low, ONE row sort, pop k_, batch
+        intersect, merge."""
+        best_t = st["best_t"]
+        cand = jnp.where(
+            dec_t(st["cand"], cbits) < best_t[:, None], st["cand"], _INT_INF
         )
-        return sel_c, sel_t, nf_t, nf_c, next_new
+        n_live = jnp.sum((cand != _INT_INF).astype(jnp.int32), axis=1)
+        next_t = dec_t(st["next_sup"], sbits)
+        do_refill = (n_live < k_) & (next_t < best_t)
+        new_keys, cursor, next_sup = refill(
+            st, o_, d_, do_refill, ksup, t_all_k, sup_ord_
+        )
+        srt = jax.lax.sort(
+            jnp.concatenate([cand, new_keys], axis=1), dimension=1
+        )  # single-operand i32 sort; nearest chunks first
+        pop = srt[:, :k_]
+        new_cand = srt[:, k_ : k_ + CAND]
+        valid = pop != _INT_INF  # purged => every live key beats best_t
+        sel_c = jnp.where(valid, pop & cmask, -1).T  # (k, n)
 
-    def round_body(st, o_, d_, ign_f_, m_pad_, k_):
-        """One traversal round at the state's width: SELECT each ray's k_
-        nearest unvisited chunks, intersect them, merge. Selecting first
-        means the state carries no pending selections — (best, frontier,
-        lb) is always self-consistent, so phase handoffs and inner-round
-        caps need no selection plumbing (and each call saves one
-        full-width select vs the intersect-then-select ordering)."""
-        sel_c, sel_t, nf_t, nf_c, lb = select(
-            st["best_t"], st["f_t"], st["f_c"], st["lb"], o_, d_, k_
-        )
         pt, pp, pu, pv = _pack_and_intersect(
-            sel_c, o_, d_, st["best_t"], ign_f_, prim_chunks,
+            sel_c, o_, d_, best_t, ign_f_, prim_chunks,
             c, has_tri, has_sph, m_pad_,
         )
         hitp = pp >= 0.0
         ptv = jnp.where(hitp, pt, _INF)
         if occlude:
             blocked = jnp.any(hitp, axis=0)  # any hit < current cap
-            new_t = jnp.where(blocked, 0.0, st["best_t"])
+            new_t = jnp.where(blocked, 0.0, best_t)
             new_p, new_u, new_v = st["best_p"], st["best_u"], st["best_v"]
         else:
             rt = jnp.min(ptv, axis=0)
@@ -513,58 +524,64 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             match = (ptv == rt[None]) & (pp == rp[None])
             ru = jnp.max(jnp.where(match, pu, -_INF), axis=0)
             rv = jnp.max(jnp.where(match, pv, -_INF), axis=0)
-            better = rt < st["best_t"]  # strict: an earlier equal hit stays
-            new_t = jnp.where(better, rt, st["best_t"])
+            better = rt < best_t  # strict: an earlier equal hit stays
+            new_t = jnp.where(better, rt, best_t)
             new_p = jnp.where(better, rp, st["best_p"])
             new_u = jnp.where(better, ru, st["best_u"])
             new_v = jnp.where(better, rv, st["best_v"])
 
         return dict(
             best_t=new_t, best_p=new_p, best_u=new_u, best_v=new_v,
-            f_t=nf_t, f_c=nf_c, lb=lb,
+            cand=new_cand, cursor=cursor, next_sup=next_sup,
             rounds=st["rounds"] + 1,
         )
 
-    # ---- initial state (full width); the first round selects from it
-    lb0 = _slab_all(o, d, sup_cb, jnp.full((n,), _INF))  # (N, S)
+    # ---- setup: per-ray super order, ONE single-operand sort
+    sup_tn = _slab_all(o, d, sup_cb, best_t0)  # (N, S)
+    sup_ord = jax.lax.sort(
+        enc(sup_tn, jnp.broadcast_to(iota_s[None], sup_tn.shape), sbits),
+        dimension=1,
+    )
     state = dict(
         best_t=best_t0,
         best_p=jnp.full((n,), -1.0),
         best_u=jnp.zeros((n,)),
         best_v=jnp.zeros((n,)),
-        f_t=jnp.full((n,), -_INF),
-        f_c=jnp.full((n,), -1, jnp.int32),
-        lb=lb0,
+        cand=jnp.full((n, CAND), _INT_INF, jnp.int32),
+        cursor=jnp.zeros((n,), jnp.int32),
+        next_sup=sup_ord[:, 0],
         rounds=jnp.zeros((), jnp.int32),
     )
 
+    t_all_full = make_t_all(KSUP)
+    t_all_tail = make_t_all(TAIL_KSUP)
     m_pad_full = -(-(n * k) // 1024) * 1024
     nc = min(n, max(1024, (-(-(n // COMPACT_FRACTION) // 1024)) * 1024))
     full_rounds = max_rounds if nc >= n else FULL_ROUNDS
 
     def pend_mask(st):
-        # pending = some super still holds chunks that could beat best_t
-        # (lb rows tighten to INF as supers are consumed)
-        return jnp.any(st["lb"] < st["best_t"][:, None], axis=1)
+        # pending = a live candidate below best_t remains, or an
+        # unexamined super could still supply one
+        live = jnp.any(dec_t(st["cand"], cbits) < st["best_t"][:, None], axis=1)
+        return live | (dec_t(st["next_sup"], sbits) < st["best_t"])
 
     def pending(st):
         return jnp.any(pend_mask(st))
 
     st = jax.lax.while_loop(
         lambda st: (st["rounds"] < full_rounds) & pending(st),
-        lambda st: round_body(st, o, d, ign_f, m_pad_full, k),
+        lambda st: round_body(
+            st, o, d, ign_f, m_pad_full, k, KSUP, t_all_full, sup_ord
+        ),
         state,
     )
 
     # ---- straggler compaction: gather the first nc still-pending rays
-    # into a dense sub-problem and run it with an ESCALATED K (stragglers
-    # are long-frontier rays — misses grazing dozens of chunk boxes — so
-    # fat rounds amortize the fixed per-round cost), scatter back, repeat.
-    # Two levels: a bounded bulk pass at n/4, then a completion loop at
-    # n/16 so the late rounds (a few percent of rays live) don't run at
-    # quarter width (profiled r3: 11 x 10 ms compact rounds).
-    def compact_phase(stf0, nc_, inner_cap, outer_cap):
-        ks = k_straggler
+    # into a dense sub-problem with escalated pop/refill widths
+    # (stragglers span many supers — workload p99: 53 eligible chunks),
+    # scatter back, repeat. Two levels: a bounded bulk pass at n/8, then
+    # a completion loop at n/32.
+    def compact_phase(stf0, nc_, inner_cap, outer_cap, ks, ksup, t_all_k):
         m_pad_c = -(-(nc_ * ks) // 1024) * 1024
         iota_n = jnp.arange(n, dtype=jnp.int32)
         iota_nc = jnp.arange(nc_, dtype=jnp.int32)
@@ -578,26 +595,30 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             live = iota_nc < total  # duplicate-of-ray-0 padding lanes
 
             o_s, d_s, ign_s = o[idxs], d[idxs], ign_f[idxs]
+            sup_ord_s = sup_ord[idxs]
             sub = dict(
                 # dead padding lanes get best_t 0: nothing is ever eligible
                 best_t=jnp.where(live, stf["best_t"][idxs], 0.0),
                 best_p=stf["best_p"][idxs],
                 best_u=stf["best_u"][idxs], best_v=stf["best_v"][idxs],
-                f_t=stf["f_t"][idxs], f_c=stf["f_c"][idxs],
-                lb=stf["lb"][idxs],
+                cand=stf["cand"][idxs],
+                cursor=stf["cursor"][idxs],
+                next_sup=stf["next_sup"][idxs],
                 rounds=jnp.zeros((), jnp.int32),
             )
             done = jax.lax.while_loop(
                 lambda s: (s["rounds"] < inner_cap) & jnp.any(pend_mask(s)),
-                lambda s: round_body(s, o_s, d_s, ign_s, m_pad_c, ks),
+                lambda s: round_body(
+                    s, o_s, d_s, ign_s, m_pad_c, ks, ksup, t_all_k, sup_ord_s
+                ),
                 sub,
             )
 
             tgt = jnp.where(live, idxs, n)  # sentinel rows dropped
             out = dict(stf)
-            for f in ("best_t", "best_p", "best_u", "best_v", "f_t", "f_c"):
+            for f in ("best_t", "best_p", "best_u", "best_v", "cand",
+                      "cursor", "next_sup"):
                 out[f] = stf[f].at[tgt].set(done[f], mode="drop")
-            out["lb"] = stf["lb"].at[tgt].set(done["lb"], mode="drop")
             out["outer"] = stf["outer"] + 1
             return out
 
@@ -610,9 +631,12 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         return out
 
     if nc < n:
-        st = compact_phase(st, nc, 3, 2)  # bulk stragglers, bounded
+        st = compact_phase(st, nc, 3, 2, k_straggler, KSUP, t_all_full)
         nc2 = min(n, max(1024, (-(-(n // 32) // 1024)) * 1024))
-        st = compact_phase(st, nc2, max_rounds, (n // nc2 + 2) * 6)
+        st = compact_phase(
+            st, nc2, max_rounds, (n // nc2 + 2) * 6, TAIL_K, TAIL_KSUP,
+            t_all_tail,
+        )
 
     if occlude:
         return (best_t0 > 0.0) & (st["best_t"] <= 0.0)
@@ -625,7 +649,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
 
 
 def trace_binned(geom, soa: HierSoA, o, d, t_max, ignore, *,
-                 rounds: int = 4096, k: int = 2, k_straggler: int = 8) -> Hit:
+                 rounds: int = 4096, k: int = 4, k_straggler: int = 8) -> Hit:
     """Closest-hit via binned traversal; same contract as intersect_hier
     (non-instanced scenes: Hit.prim in storage ids, findFar semantics).
     `rounds` is a safety cap — the loop normally runs until every ray's
@@ -652,7 +676,7 @@ def trace_binned(geom, soa: HierSoA, o, d, t_max, ignore, *,
 
 
 def occlude_binned(geom, soa: HierSoA, o, d, t_max, ignore, *,
-                   rounds: int = 4096, k: int = 2,
+                   rounds: int = 4096, k: int = 4,
                    k_straggler: int = 8) -> jax.Array:
     """Any-hit within (EPS, t_max) via binned traversal; same contract as
     occlude_hier."""

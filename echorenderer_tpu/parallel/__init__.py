@@ -2,6 +2,7 @@ from .sharding import (
     make_mesh,
     render_epoch_sharded,
     render_frame_sharded,
+    sample_active_sharded,
     shard_pixels,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "make_mesh",
     "render_epoch_sharded",
     "render_frame_sharded",
+    "sample_active_sharded",
     "shard_pixels",
 ]

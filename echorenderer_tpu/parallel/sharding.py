@@ -181,6 +181,74 @@ def _sharded_epoch_fn(mesh, resolution, count, evaluator, bounce_limit, survivab
     return jax.jit(run)
 
 
+def sample_active_sharded(
+    mesh: Mesh,
+    scene: PreparedScene,
+    ids,
+    starts,
+    resolution,
+    seed: int,
+    count: int,
+    *,
+    bounce_limit: int = 16,
+    survivability: float = 2.5,
+):
+    """One ADAPTIVE epoch over the mesh: an arbitrary compacted set of
+    still-noisy pixel lanes (global ids + per-pixel sample starts, the
+    same contract as processes.render._sample_active) sharded across
+    devices. Lanes are padded to the shard count with duplicates of lane 0
+    whose results the caller must mask (the returned arrays keep the
+    padded length so callers can reuse the valid mask they built).
+
+    Determinism: per-pixel streams key on (seed, pixel_id, sample_id), so
+    the samples are bitwise identical to the single-device adaptive epoch
+    for any shard count (tests/test_sharding.py)."""
+    n = ids.shape[0]
+    n_shards = mesh.devices.size
+    # lane-align the per-shard width: odd widths vectorize differently
+    # per backend (scalar remainder codegen), breaking the bitwise
+    # shard-count invariance this function promises
+    per = -(-shard_pixels(n, n_shards) // 128) * 128
+    padded = per * n_shards
+    width, height = resolution
+    ids_p = jnp.concatenate(
+        [jnp.asarray(ids, jnp.uint32),
+         jnp.broadcast_to(jnp.asarray(ids, jnp.uint32)[:1], (padded - n,))]
+    )
+    st_p = jnp.concatenate(
+        [jnp.asarray(starts, jnp.uint32),
+         jnp.broadcast_to(jnp.asarray(starts, jnp.uint32)[:1], (padded - n,))]
+    )
+    px = (ids_p % width).astype(jnp.int32)
+    py = (ids_p // width).astype(jnp.int32)
+    run = _sharded_active_fn(
+        mesh, tuple(resolution), count, bounce_limit, survivability
+    )
+    s_sum, s_sq = run(scene, ids_p, px, py, st_p, jnp.asarray(seed, jnp.uint32))
+    return s_sum, s_sq
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_active_fn(mesh, resolution, count, bounce_limit, survivability):
+    from ..evaluation.wavefront import sample_frame_wavefront
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,
+    )
+    def run(scene_rep, pid, pxs, pys, starts, seed):
+        pixel_xy = jnp.stack([pxs, pys], axis=-1)
+        return sample_frame_wavefront(
+            scene_rep, pid, pixel_xy, resolution, seed, starts, count,
+            bounce_limit=bounce_limit, survivability=survivability,
+        )
+
+    return jax.jit(run)
+
+
 def render_frame_sharded(
     mesh: Mesh,
     scene: PreparedScene,

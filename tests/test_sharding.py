@@ -53,3 +53,43 @@ class TestChipCountInvariance:
         a, _, _ = render_epoch_sharded(mesh8, prepared, RES, 0, 0, 2, bounce_limit=4)
         c, _, _ = render_epoch_sharded(mesh8, prepared, RES, 7, 0, 2, bounce_limit=4)
         assert np.abs(np.asarray(a) - np.asarray(c)).max() > 0.0
+
+
+class TestAdaptiveSharded:
+    def test_active_epoch_shard_invariant_and_matches_single(self, prepared):
+        """sample_active_sharded (the adaptive epoch under a mesh) is
+        bitwise identical across shard counts AND to the single-device
+        adaptive program (render._sample_active)."""
+        from echorenderer_tpu.parallel import sample_active_sharded
+        from echorenderer_tpu.processes.render import _sample_active_jit
+
+        n = RES[0] * RES[1]
+        rs = np.random.RandomState(7)
+        ids = jnp.asarray(
+            np.sort(rs.choice(n, size=101, replace=False)).astype(np.uint32)
+        )
+        starts = jnp.asarray(rs.randint(0, 5, size=101).astype(np.uint32))
+
+        a1, q1 = sample_active_sharded(
+            make_mesh(1), prepared, ids, starts, RES, seed=0, count=2,
+            bounce_limit=4,
+        )
+        a8, q8 = sample_active_sharded(
+            make_mesh(8), prepared, ids, starts, RES, seed=0, count=2,
+            bounce_limit=4,
+        )
+        m = ids.shape[0]
+        # padded length differs per shard count; only the valid rows count
+        np.testing.assert_array_equal(np.asarray(a1)[:m], np.asarray(a8)[:m])
+        np.testing.assert_array_equal(np.asarray(q1)[:m], np.asarray(q8)[:m])
+
+        # the single-device program must use the same lane-aligned width
+        # (production buckets are pow2 >= 1024) for bitwise agreement
+        pad = 128 - m
+        ids_p = jnp.concatenate([ids, jnp.broadcast_to(ids[:1], (pad,))])
+        st_p = jnp.concatenate([starts, jnp.broadcast_to(starts[:1], (pad,))])
+        s1, sq1 = _sample_active_jit(
+            prepared, ids_p, st_p, RES, 0, 2, 4, 2.5
+        )
+        np.testing.assert_array_equal(np.asarray(a8)[:m], np.asarray(s1)[:m])
+        np.testing.assert_array_equal(np.asarray(q8)[:m], np.asarray(sq1)[:m])
