@@ -29,6 +29,11 @@ def save_png(path, image: np.ndarray, *, flip_y: bool = True, srgb: bool = True)
     """Save an (H, W, 3|4) linear float image as PNG. Row 0 of the array is
     the BOTTOM of the image (the renderer's y-up convention) unless flip_y
     is False."""
+    Path(path).write_bytes(encode_png(image, flip_y=flip_y, srgb=srgb))
+
+
+def encode_png(image: np.ndarray, *, flip_y: bool = True, srgb: bool = True) -> bytes:
+    """PNG-encode an (H, W, 3|4) linear float image (see save_png)."""
     img = np.asarray(image)
     if img.ndim == 2:
         img = img[..., None].repeat(3, axis=-1)
@@ -51,13 +56,12 @@ def save_png(path, image: np.ndarray, *, flip_y: bool = True, srgb: bool = True)
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
-    Path(path).write_bytes(png)
 
 
 def load_png(path, *, srgb: bool = True) -> np.ndarray:

@@ -163,14 +163,18 @@ def _render_once(args, prof, state, monitor):
     if state is not None:
         def progress(epoch, max_epoch, noise, layer="main", samples=0, image=None, **kw):
             monitor(epoch, max_epoch, noise, layer=layer, samples=samples)
+            noise_r = round(noise, 5) if noise == noise and noise != float("inf") else None
             status = dict(layer=layer, epoch=epoch, max_epoch=max_epoch,
-                          noise=(round(noise, 5) if noise == noise and noise != float("inf") else None),
-                          samples=samples)
+                          noise=noise_r, samples=samples)
             if "tile_batch" in kw:
                 status["tile_batch"] = list(kw["tile_batch"])
             state.publish_status(**status)
+            state.publish_operation(
+                layer, epoch=f"{epoch}/{max_epoch}", samples=samples,
+                noise=noise_r if noise_r is not None else "-",
+            )
             if image is not None:
-                state.publish_frame(image)
+                state.publish_frame(image, layer=layer)
     else:
         progress = monitor
     out = render(prepared, prof, progress=progress,
@@ -186,9 +190,14 @@ def _render_once(args, prof, state, monitor):
                 file=sys.stderr,
             )
             if state is not None:
-                state.publish_status(**{f"{layer}_final": dict(
-                    samples=info["samples"], seconds=round(info["seconds"], 2),
-                    mspps=round(info["samples_per_second"] / 1e6, 3))})
+                state.publish_operation(
+                    layer, state="done", seconds=round(info["seconds"], 2),
+                    mspps=round(info["samples_per_second"] / 1e6, 3),
+                )
+                state.publish_stats({
+                    f"{layer}/samples": info["samples"],
+                    f"{layer}/Mspps": round(info["samples_per_second"] / 1e6, 3),
+                })
     if "composition_errors" in infos:
         for op, msg in infos["composition_errors"].items():
             print(f"composition {op}: {msg}", file=sys.stderr)

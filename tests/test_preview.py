@@ -45,6 +45,67 @@ class TestPreviewServer:
         finally:
             server.stop()
 
+    def test_dashboard_areas(self):
+        """The four EchoUI areas (EchoUI.cs:20-31): per-layer viewer with
+        exact pixel inspector (ViewerUI), statistics table (RenderUI),
+        operations table (SchedulerUI), log pane (LogsUI)."""
+        import logging
+
+        state = PreviewState()
+        server = PreviewServer(state).start()
+        try:
+            # -- ViewerUI: multiple layers, exact linear pixel readout
+            rs = np.random.RandomState(1)
+            main = rs.uniform(0, 2, (6, 8, 3)).astype(np.float32)
+            albedo = rs.uniform(0, 1, (6, 8, 3)).astype(np.float32)
+            state.publish_frame(main)
+            state.publish_frame(albedo, layer="albedo")
+
+            _, _, body = _get(server.port, "/layers.json")
+            layers = json.loads(body)
+            assert layers == {"main": [6, 8, 3], "albedo": [6, 8, 3]}
+
+            code, ctype, _ = _get(server.port, "/frame.png?layer=albedo")
+            assert code == 200 and ctype == "image/png"
+
+            # pixel (x=3, y=1 from the top) == linear row h-1-y
+            _, _, body = _get(server.port, "/pixel.json?layer=albedo&x=3&y=1")
+            px = json.loads(body)
+            assert px["ok"]
+            np.testing.assert_allclose(px["rgb"], albedo[4, 3], rtol=1e-6)
+            _, _, body = _get(server.port, "/pixel.json?layer=albedo&x=99&y=0")
+            assert not json.loads(body)["ok"]
+
+            # -- RenderUI: named statistics
+            state.publish_stats({"Ray/Traced": 1234, "Sample/Completed": 99})
+            _, _, body = _get(server.port, "/stats.json")
+            st = json.loads(body)
+            assert st["Ray/Traced"] == 1234 and st["Sample/Completed"] == 99
+
+            # -- SchedulerUI: operation rows, updated in place
+            state.publish_operation("main", epoch="1/4", samples=100)
+            state.publish_operation("main", epoch="2/4", samples=200)
+            state.publish_operation("albedo", state="done")
+            _, _, body = _get(server.port, "/operations.json")
+            ops = json.loads(body)
+            assert [o["operation"] for o in ops] == ["main", "albedo"]
+            assert ops[0]["epoch"] == "2/4" and ops[0]["samples"] == 200
+
+            # -- LogsUI: records from the 'echo' structured logger
+            logging.getLogger("echo.test").warning("warn %d", 7)
+            _, _, body = _get(server.port, "/logs.json")
+            logs = json.loads(body)
+            assert any(
+                l["msg"] == "warn 7" and l["level"] == "WARNING" for l in logs
+            )
+
+            # dashboard page mentions every area
+            _, _, body = _get(server.port, "/")
+            for area in (b"operations", b"statistics", b"logs", b"layer"):
+                assert area in body
+        finally:
+            server.stop()
+
     def test_render_publishes_frames(self):
         """End-to-end: a render loop publishes progressive frames."""
         from echorenderer_tpu.models import scenes
