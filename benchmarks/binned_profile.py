@@ -40,6 +40,10 @@ def main():
 
     k = int(os.environ.get("ECHO_BT_K", "2"))
     ks = int(os.environ.get("ECHO_BT_KS", "8"))
+    for name in ("FULL_ROUNDS", "COMPACT_FRACTION", "KSUP", "TAIL_KSUP"):
+        v = os.environ.get(f"ECHO_BT_{name}")
+        if v:
+            setattr(bt, name, int(v))
     run = lambda: bt.trace_binned(
         geom, hier, o_r, d_r, jnp.inf, ig, k=k, k_straggler=ks
     )

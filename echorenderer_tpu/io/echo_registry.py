@@ -103,10 +103,12 @@ class _MaterialSwatch(dict):
 def _build_material_swatch(source, args, props, calls):
     sw = _MaterialSwatch()
     for name, cargs in calls:
-        if name != "Map":
+        # .Set is the reference's [EchoSourceUsable] spelling
+        # (MaterialSwatch.cs:73-74); .Map is this dialect's original alias
+        if name not in ("Map", "Set"):
             raise KeyError(f"echo: unknown method .{name} on MaterialSwatch")
         if len(cargs) != 2:
-            raise ValueError("echo: MaterialSwatch.Map takes (original, replacement)")
+            raise ValueError(f"echo: MaterialSwatch.{name} takes (original, replacement)")
         sw[cargs[0]] = cargs[1]
     return sw
 

@@ -6,11 +6,11 @@ Every packet kernel makes ONE cull decision per 1024-ray block, which
 collapses when bounce rays diverge (0.16 Mrays/s at 250k tris). Here each
 ray culls independently and the *intersection* work is what gets batched:
 
-1. Two-level selection: each ray ranks superchunks by an ADVANCING lower
-   bound on their remaining eligible chunks, refines the top KSUP supers'
-   chunk boxes (one-hot MXU lookup), and picks its K nearest not-yet
-   visited chunks below its current best hit. A lexicographic
-   (t_entry, chunk) frontier makes "visited" a two-scalar comparison.
+1. Two-level selection: each ray precomputes its ENTIRE super traversal
+   order in one monotone-key sort, carries packed (entry_t, chunk)
+   candidate keys across rounds, and pops the k nearest per round with a
+   single row sort. Exactly-once follows from a monotone cursor into the
+   precomputed order plus pop-by-removal.
 2. The (ray, chunk) pairs are sorted chunk-major in ONE multi-operand
    `lax.sort` that carries the whole ray record as payload (measured
    ~5 ms for 1M pairs x 10 operands — vs ~70 ms for the elementwise
@@ -20,14 +20,26 @@ ray culls independently and the *intersection* work is what gets batched:
    spans one or more chunk SEGMENTS; the Pallas kernel walks each row's
    segments (scalar-prefetch table), DMA-ing each chunk once (cached
    across consecutive rows) and masking lanes to their own segment.
-4. Results sort back by pair index (one 5-operand sort) and reduce
-   per-ray as (K, N) — K on sublanes so the reduction is lane-parallel
-   (the (N, 1)-shaped reductions of the previous design had pathological
-   T(1,128) layouts).
+4. ROUNDS CARRY ONE PACKED i32 PER PAIR — f32 t bits with the low 8
+   mantissa bits replaced by the prim-in-chunk index. The kernel's
+   epilogue is a single i32 min, the unpack is a 2-operand sort (was 5),
+   and the per-ray merge is a plain integer min. Exact (t, u, v, prim)
+   are recovered ONCE at the end by re-intersecting each ray's winning
+   chunk (profiled r3: the 5-op unpack + 4-reduction epilogue were ~40%
+   of a round).
 5. Straggler compaction: after FULL_ROUNDS full-width rounds the
-   still-pending rays (typically a small fraction) are gathered into a
-   N/COMPACT_FRACTION-wide sub-problem that loops to completion, so late
-   rounds cost a fraction of the full width.
+   still-pending rays (typically a few %) are gathered into an
+   n/COMPACT_FRACTION-wide sub-problem with escalated pop/refill widths
+   (TAIL_K / TAIL_KSUP) that loops to completion — ONE fat phase instead
+   of many small rounds (profiled r3: two cascaded compact phases spent
+   80% of the trace in fixed per-round costs).
+
+Conservative-rounding invariants: every packed key truncates t's low
+mantissa bits to hold an id, which rounds t DOWN, so candidate ordering
+and purging never skip a potential hit; the best-hit cap fed back into
+kernels/purges is the truncation band's UPPER bound. Two hits whose t
+differ by less than one band (2^-16 relative) may resolve to either —
+the final re-intersection is exact for the winning chunk.
 
 The near-to-far rounds give per-ray early termination (the packet kernels
 only get it packet-wide). Intersection math is the shared `_chunk_hits`
@@ -52,16 +64,13 @@ from .pallas_intersect import _chunk_hits, _interpret
 
 _INF = 3.4e38
 _INT_INF = 2**31 - 1  # key-space sentinel: empty candidate / consumed super
+_PBITS = 8  # prim-in-chunk bits in a result key (HCHUNK == 256)
 ROW = 128  # rays per kernel sub-row
 SUP = 16  # chunks per superchunk (two-level selection)
-KSUP = 4  # superchunks examined per ray per refill (full/bulk phases)
-TAIL_KSUP = 8  # ... straggler phase (long rays span many supers)
-TAIL_K = 32  # chunks intersected per straggler ray per round
-CAND = 160  # per-ray candidate-buffer slots (>= TAIL_KSUP*SUP + TAIL_K - 1,
-#             so a refill can never overflow the buffer: refills only fire
-#             when fewer than `k` live entries remain)
-FULL_ROUNDS = 1  # full-width rounds before straggler compaction
-COMPACT_FRACTION = 8  # compact phase width = n / this
+KSUP = 4  # superchunks examined per ray per refill (full-width phase)
+TAIL_KSUP = 16  # ... straggler phase (long rays span many supers)
+FULL_ROUNDS = 2  # full-width rounds before straggler compaction
+COMPACT_FRACTION = 16  # compact phase width = n / this
 
 
 # ---------------------------------------------------------------------------
@@ -70,11 +79,15 @@ COMPACT_FRACTION = 8  # compact phase width = n / this
 
 
 def _seg_kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tmax, ign, seg, prim_hbm,
-                t_out, p_out, u_out, v_out, pscratch, cur, sem0, sem1,
-                *, has_tri, has_sph, n_rows):
+                *rest, has_tri, has_sph, n_rows, keyed):
     """One block = 8 sub-rows of 128 chunk-sorted pairs. Sub-row r spans
     segments tbl[r] .. tbl[r] + tbl[n_rows + r] - 1; segment s intersects
     chunk tbl[2*n_rows + s] against the lanes whose seg column == s.
+
+    keyed=True (the round kernel): one i32 output per pair — t's f32 bits
+    with the low _PBITS replaced by the prim-in-chunk index (monotone in
+    (truncated t, prim)), _INT_INF where nothing was found below tmax.
+    keyed=False (the recovery kernel): exact (t, prim, u, v) per pair.
 
     Chunk streaming is double-buffered: while segment s computes out of
     one buffer, segment s+1's chunk is DMA'd into the other (the
@@ -82,12 +95,16 @@ def _seg_kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tmax, ign, seg, prim_hbm,
     `cur` tracks per buffer the chunk loaded-or-loading (-1 none) plus an
     in-flight flag, so a segment spanning consecutive rows reuses its
     resident chunk without a new copy."""
+    if keyed:
+        k_out, pscratch, cur, sem0, sem1 = rest
+        k_out[:] = jnp.full_like(k_out[:], _INT_INF)
+    else:
+        t_out, p_out, u_out, v_out, pscratch, cur, sem0, sem1 = rest
+        t_out[:] = tmax[:]
+        p_out[:] = jnp.full_like(tmax[:], -1.0)
+        u_out[:] = jnp.zeros_like(tmax[:])
+        v_out[:] = jnp.zeros_like(tmax[:])
     i = pl.program_id(0)
-    # defaults: dead rows / unmasked lanes report (t=tmax, no prim)
-    t_out[:] = tmax[:]
-    p_out[:] = jnp.full_like(tmax[:], -1.0)
-    u_out[:] = jnp.zeros_like(tmax[:])
-    v_out[:] = jnp.zeros_like(tmax[:])
     # cur[0:2] buffer chunk ids, cur[2:4] in-flight flags — persistent
     # across grid blocks (chunks stay resident block-to-block)
     @pl.when(i == 0)
@@ -151,58 +168,101 @@ def _seg_kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tmax, ign, seg, prim_hbm,
             rdx, rdy, rdz = row(dx), row(dy), row(dz)
             rtm, rig, rsg = row(tmax), row(ign), row(seg)
 
-            def seg_body(s, carry):
-                bt, bp, bu, bv = carry
+            def dma_chunk(s):
+                """Resident-or-DMA chunk for segment s; prefetch s+1."""
                 c = tbl_ref[2 * n_rows + sfirst + s]
-                # current buffer: the one already holding c, else alternate
                 buf = jnp.where(
                     cur[0] == c, 0, jnp.where(cur[1] == c, 1, s % 2)
                 )
                 prefetch(buf, c)  # no-op when resident/in flight
-                # queue the NEXT segment's chunk into the other buffer
                 s_next = jnp.minimum(s + 1, scount - 1)
                 c_next = tbl_ref[2 * n_rows + sfirst + s_next]
                 pl.when((c_next != c) & (cur[1 - buf] != c_next))(
                     lambda: prefetch(1 - buf, c_next)
                 )
                 wait(buf)
+                return c, buf
 
-                lanes = rsg == (sfirst + s).astype(jnp.float32)
+            def sub_blocks(buf):
                 for sub in range(HCHUNK // 128):
                     blk = [
                         pscratch[buf, kq : kq + 1, sub * 128 : (sub + 1) * 128]
                         for kq in range(10)
                     ]
-                    k_base = (c * HCHUNK + sub * 128).astype(jnp.float32)
-                    t, u, v, pid = _chunk_hits(
-                        blk, k_base, rox, roy, roz, rdx, rdy, rdz, rig,
-                        has_tri, has_sph,
-                    )
-                    t = jnp.where(lanes, t, _INF)  # other segments' lanes
-                    tm = jnp.min(t, axis=0, keepdims=True)
-                    sel = t <= tm
-                    pm = jnp.min(jnp.where(sel, pid, _INF), axis=0, keepdims=True)
-                    sel2 = sel & (pid == pm)
-                    um = jnp.sum(jnp.where(sel2, u, 0.0), axis=0, keepdims=True)
-                    vm = jnp.sum(jnp.where(sel2, v, 0.0), axis=0, keepdims=True)
-                    closer = tm < bt
-                    bt = jnp.where(closer, tm, bt)
-                    bp = jnp.where(closer, pm, bp)
-                    bu = jnp.where(closer, um, bu)
-                    bv = jnp.where(closer, vm, bv)
-                return bt, bp, bu, bv
+                    yield sub, blk
 
-            init = (
-                rtm,
-                jnp.full_like(rtm, -1.0),
-                jnp.zeros_like(rtm),
-                jnp.zeros_like(rtm),
-            )
-            bt, bp, bu, bv = jax.lax.fori_loop(0, scount, seg_body, init)
-            t_out[0, s8 : s8 + 1, :] = bt
-            p_out[0, s8 : s8 + 1, :] = bp
-            u_out[0, s8 : s8 + 1, :] = bu
-            v_out[0, s8 : s8 + 1, :] = bv
+            if keyed:
+
+                def seg_body(s, best):
+                    c, buf = dma_chunk(s)
+                    lanes = rsg == (sfirst + s).astype(jnp.float32)
+                    for sub, blk in sub_blocks(buf):
+                        k_base = (c * HCHUNK + sub * 128).astype(jnp.float32)
+                        t, _, _, _ = _chunk_hits(
+                            blk, k_base, rox, roy, roz, rdx, rdy, rdz, rig,
+                            has_tri, has_sph,
+                        )
+                        valid = lanes & (t < rtm) & (t < _INF)
+                        tb = jax.lax.bitcast_convert_type(t, jnp.int32)
+                        local = jax.lax.broadcasted_iota(
+                            jnp.int32, t.shape, 0
+                        ) + sub * 128
+                        key = jnp.where(
+                            valid,
+                            (tb & jnp.int32(-(1 << _PBITS))) | local,
+                            _INT_INF,
+                        )
+                        best = jnp.minimum(
+                            best, jnp.min(key, axis=0, keepdims=True)
+                        )
+                    return best
+
+                init = jnp.full((1, ROW), _INT_INF, jnp.int32)
+                best = jax.lax.fori_loop(0, scount, seg_body, init)
+                k_out[0, s8 : s8 + 1, :] = best
+            else:
+
+                def seg_body(s, carry):
+                    bt, bp, bu, bv = carry
+                    c, buf = dma_chunk(s)
+                    lanes = rsg == (sfirst + s).astype(jnp.float32)
+                    for sub, blk in sub_blocks(buf):
+                        k_base = (c * HCHUNK + sub * 128).astype(jnp.float32)
+                        t, u, v, pid = _chunk_hits(
+                            blk, k_base, rox, roy, roz, rdx, rdy, rdz, rig,
+                            has_tri, has_sph,
+                        )
+                        t = jnp.where(lanes, t, _INF)
+                        tm = jnp.min(t, axis=0, keepdims=True)
+                        sel = t <= tm
+                        pm = jnp.min(
+                            jnp.where(sel, pid, _INF), axis=0, keepdims=True
+                        )
+                        sel2 = sel & (pid == pm)
+                        um = jnp.sum(
+                            jnp.where(sel2, u, 0.0), axis=0, keepdims=True
+                        )
+                        vm = jnp.sum(
+                            jnp.where(sel2, v, 0.0), axis=0, keepdims=True
+                        )
+                        closer = tm < bt
+                        bt = jnp.where(closer, tm, bt)
+                        bp = jnp.where(closer, pm, bp)
+                        bu = jnp.where(closer, um, bu)
+                        bv = jnp.where(closer, vm, bv)
+                    return bt, bp, bu, bv
+
+                init = (
+                    rtm,
+                    jnp.full_like(rtm, -1.0),
+                    jnp.zeros_like(rtm),
+                    jnp.zeros_like(rtm),
+                )
+                bt, bp, bu, bv = jax.lax.fori_loop(0, scount, seg_body, init)
+                t_out[0, s8 : s8 + 1, :] = bt
+                p_out[0, s8 : s8 + 1, :] = bp
+                u_out[0, s8 : s8 + 1, :] = bu
+                v_out[0, s8 : s8 + 1, :] = bv
 
     # drain any in-flight prefetch before the kernel retires
     @pl.when(i == pl.num_programs(0) - 1)
@@ -211,22 +271,24 @@ def _seg_kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tmax, ign, seg, prim_hbm,
         wait(1)
 
 
-def _run_rows(tbl, cols, prim_chunks, has_tri, has_sph):
+def _run_rows(tbl, cols, prim_chunks, has_tri, has_sph, keyed):
     """cols: 9 arrays (R8, 8, 128) [o, d, tmax, ign, seg]; tbl the i32
-    scalar table [sfirst (R,), scount (R,), seg_chunk]. Returns
-    (t, p, u, v) of shape (R8, 8, 128)."""
+    scalar table [sfirst (R,), scount (R,), seg_chunk]. Returns the packed
+    i32 key rows (keyed) or (t, p, u, v) f32 rows, shape (R8, 8, 128)."""
     r8 = cols[0].shape[0]
     kernel = functools.partial(
-        _seg_kernel, has_tri=has_tri, has_sph=has_sph, n_rows=r8 * 8
+        _seg_kernel, has_tri=has_tri, has_sph=has_sph, n_rows=r8 * 8,
+        keyed=keyed,
     )
     ray_spec = pl.BlockSpec(
         (1, 8, ROW), lambda i, tbl_: (i, 0, 0), memory_space=pltpu.VMEM
     )
+    n_out = 1 if keyed else 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(r8,),
         in_specs=[ray_spec] * 9 + [pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[ray_spec] * 4,
+        out_specs=[ray_spec] * n_out,
         scratch_shapes=[
             pltpu.VMEM((2, 16, HCHUNK), jnp.float32),
             pltpu.SMEM((4,), jnp.int32),
@@ -234,14 +296,16 @@ def _run_rows(tbl, cols, prim_chunks, has_tri, has_sph):
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    out_shape = [jax.ShapeDtypeStruct((r8, 8, ROW), jnp.float32)] * 4
-    return pl.pallas_call(
+    dt = jnp.int32 if keyed else jnp.float32
+    out_shape = [jax.ShapeDtypeStruct((r8, 8, ROW), dt)] * n_out
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
     )(tbl, *cols, prim_chunks)
+    return out[0] if keyed else out
 
 
 # ---------------------------------------------------------------------------
@@ -275,10 +339,10 @@ def _slab_all(o, d, cb, limit):
 
 
 def _pack_and_intersect(sel_c, o, d, best_t, ign_f, prim_chunks,
-                        n_chunks, has_tri, has_sph, m_pad):
+                        n_chunks, has_tri, has_sph, m_pad, keyed=True):
     """Pack this round's (ray, chunk) pairs into chunk-sorted segment rows,
-    run the row kernel, and return per-(k, ray) candidate results
-    (t, prim, u, v) with prim == -1 where the pair found nothing."""
+    run the row kernel, and return per-(k, ray) results: the packed i32
+    key (keyed, _INT_INF where nothing found) or exact (t, prim, u, v)."""
     kk, n = sel_c.shape
     m = kk * n
     pc = sel_c.reshape(-1)  # k-major: pair k*n + i = selection k of ray i
@@ -322,14 +386,28 @@ def _pack_and_intersect(sel_c, o, d, best_t, ign_f, prim_chunks,
     cols = tuple(f.reshape(shape3) for f in fs) + (
         seg_id.astype(jnp.float32).reshape(shape3),
     )
-    t_r, p_r, u_r, v_r = _run_rows(tbl, cols, prim_chunks, has_tri, has_sph)
+    res = _run_rows(tbl, cols, prim_chunks, has_tri, has_sph, keyed)
 
+    if keyed:  # 2-operand unpack (was 5): the whole result is one i32
+        back = jax.lax.sort((q_s, res.reshape(-1)), num_keys=1)
+        return back[1][:m].reshape(kk, n)
+    t_r, p_r, u_r, v_r = res
     back = jax.lax.sort(
         (q_s, t_r.reshape(-1), p_r.reshape(-1), u_r.reshape(-1),
          v_r.reshape(-1)),
         num_keys=1,
     )
     return tuple(a[:m].reshape(kk, n) for a in back[1:5])
+
+
+def _key_ub(key):
+    """Upper bound of a packed key's truncation band: the smallest f32
+    provably >= the exact t the key was packed from (truncation rounds
+    down). Feeding this back as the pruning/kernel cap keeps conservative
+    semantics — never skips a chunk that could hold a closer hit."""
+    band = (key & jnp.int32(-(1 << _PBITS))) + jnp.int32(1 << _PBITS)
+    f = jax.lax.bitcast_convert_type(band, jnp.float32)
+    return jnp.where(key == _INT_INF, _INF, f)
 
 
 @functools.partial(
@@ -339,26 +417,32 @@ def _pack_and_intersect(sel_c, o, d, best_t, ign_f, prim_chunks,
 )
 def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
                        has_tri, has_sph, k, k_straggler, occlude, max_rounds):
-    """Candidate-buffer traversal (v3). Each ray carries:
+    """Candidate-buffer traversal (v4). Each ray carries:
 
       * sup_ord (N, S): its supers sorted by box-entry distance, packed as
         monotone-f32-bits keys (read-only after setup) — the ray's entire
         traversal ORDER precomputed in one single-operand sort;
       * cursor: how many supers it has examined (monotone, exactly-once);
-      * cand (N, CAND): packed (entry, chunk-id) keys of every eligible
+      * cand (N, W): packed (entry, chunk-id) keys of every eligible
         chunk of every examined super that has not been intersected yet.
+        W is phase-specific (refill width + pop width - 1: a refill only
+        fires when fewer than `k` live entries remain, so the buffer can
+        never overflow) — the tail phase pads the buffer wider.
 
-    A round is: purge candidates the shrinking best_t has pruned; rays low
-    on candidates examine their next KSUP supers (refill — slab test all
-    their chunks, one-hot MXU bounds fetch); ONE single-operand row sort
-    of (cand ++ new) yields the k nearest; pop them positionally, batch
-    them through the chunk-major Pallas kernel, merge hits. No per-round
-    super re-ranking, no advancing-frontier bookkeeping: exactly-once
-    follows from the cursor and pop-by-removal (workload data,
+    A round is: purge candidates the shrinking best cap has pruned; rays
+    low on candidates examine their next KSUP supers (refill — slab test
+    all their chunks, one-hot MXU bounds fetch); ONE single-operand row
+    sort of (cand ++ new) yields the k nearest; pop them positionally,
+    batch them through the chunk-major Pallas kernel (keyed: one packed
+    i32 per pair), merge by integer min. No per-round super re-ranking,
+    no advancing-frontier bookkeeping (workload data,
     benchmarks/binned_workload.py: mean 7 eligible / 3.5 needed chunks
     per 1M-tri random ray — rounds must cost sorting + kernel, nothing
-    else). Keys truncate entry-t mantissa bits to hold the id; truncation
-    rounds t DOWN, so ordering/pruning stay conservative (never skips)."""
+    else). All keys truncate t's mantissa to hold an id; truncation
+    rounds t DOWN and caps use the band's upper bound (_key_ub), so
+    ordering/pruning stay conservative (never skip). Exact (t, u, v,
+    prim) come from ONE final re-intersection of each ray's winning
+    chunk."""
     n = o.shape[0]
     c = cb.shape[0]
     ign_f = ign_sorted.astype(jnp.float32)
@@ -487,9 +571,11 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         )
         return new_keys, new_cursor, next_sup
 
-    def round_body(st, o_, d_, ign_f_, m_pad_, k_, ksup, t_all_k, sup_ord_):
+    def round_body(st, o_, d_, ign_f_, m_pad_, k_, w_, ksup, t_all_k,
+                   sup_ord_):
         """One round: purge, refill-if-low, ONE row sort, pop k_, batch
-        intersect, merge."""
+        intersect (keyed), merge by integer min. w_ = candidate-buffer
+        width this phase."""
         best_t = st["best_t"]
         cand = jnp.where(
             dec_t(st["cand"], cbits) < best_t[:, None], st["cand"], _INT_INF
@@ -504,34 +590,32 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             jnp.concatenate([cand, new_keys], axis=1), dimension=1
         )  # single-operand i32 sort; nearest chunks first
         pop = srt[:, :k_]
-        new_cand = srt[:, k_ : k_ + CAND]
+        new_cand = srt[:, k_ : k_ + w_]
         valid = pop != _INT_INF  # purged => every live key beats best_t
         sel_c = jnp.where(valid, pop & cmask, -1).T  # (k, n)
 
-        pt, pp, pu, pv = _pack_and_intersect(
+        pk = _pack_and_intersect(
             sel_c, o_, d_, best_t, ign_f_, prim_chunks,
-            c, has_tri, has_sph, m_pad_,
-        )
-        hitp = pp >= 0.0
-        ptv = jnp.where(hitp, pt, _INF)
+            c, has_tri, has_sph, m_pad_, keyed=True,
+        )  # (k, n) i32
         if occlude:
-            blocked = jnp.any(hitp, axis=0)  # any hit < current cap
+            blocked = jnp.any(pk != _INT_INF, axis=0)
             new_t = jnp.where(blocked, 0.0, best_t)
-            new_p, new_u, new_v = st["best_p"], st["best_u"], st["best_v"]
+            new_key, new_chunk = st["best_key"], st["best_chunk"]
         else:
-            rt = jnp.min(ptv, axis=0)
-            rp = jnp.min(jnp.where(ptv == rt[None], pp, _INF), axis=0)
-            match = (ptv == rt[None]) & (pp == rp[None])
-            ru = jnp.max(jnp.where(match, pu, -_INF), axis=0)
-            rv = jnp.max(jnp.where(match, pv, -_INF), axis=0)
-            better = rt < best_t  # strict: an earlier equal hit stays
-            new_t = jnp.where(better, rt, best_t)
-            new_p = jnp.where(better, rp, st["best_p"])
-            new_u = jnp.where(better, ru, st["best_u"])
-            new_v = jnp.where(better, rv, st["best_v"])
+            kmin = jnp.min(pk, axis=0)
+            cwin = jnp.min(
+                jnp.where(pk == kmin[None], sel_c, jnp.int32(2**30)), axis=0
+            )
+            better = kmin < st["best_key"]
+            new_key = jnp.where(better, kmin, st["best_key"])
+            new_chunk = jnp.where(better, cwin, st["best_chunk"])
+            new_t = jnp.minimum(
+                jnp.where(better, _key_ub(kmin), best_t), best_t
+            )
 
         return dict(
-            best_t=new_t, best_p=new_p, best_u=new_u, best_v=new_v,
+            best_t=new_t, best_key=new_key, best_chunk=new_chunk,
             cand=new_cand, cursor=cursor, next_sup=next_sup,
             rounds=st["rounds"] + 1,
         )
@@ -542,25 +626,24 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         enc(sup_tn, jnp.broadcast_to(iota_s[None], sup_tn.shape), sbits),
         dimension=1,
     )
+    w_full = KSUP * SUP + k - 1
     state = dict(
         best_t=best_t0,
-        best_p=jnp.full((n,), -1.0),
-        best_u=jnp.zeros((n,)),
-        best_v=jnp.zeros((n,)),
-        cand=jnp.full((n, CAND), _INT_INF, jnp.int32),
+        best_key=jnp.full((n,), _INT_INF, jnp.int32),
+        best_chunk=jnp.full((n,), -1, jnp.int32),
+        cand=jnp.full((n, w_full), _INT_INF, jnp.int32),
         cursor=jnp.zeros((n,), jnp.int32),
         next_sup=sup_ord[:, 0],
         rounds=jnp.zeros((), jnp.int32),
     )
 
     t_all_full = make_t_all(KSUP)
-    t_all_tail = make_t_all(TAIL_KSUP)
     m_pad_full = -(-(n * k) // 1024) * 1024
     nc = min(n, max(1024, (-(-(n // COMPACT_FRACTION) // 1024)) * 1024))
     full_rounds = max_rounds if nc >= n else FULL_ROUNDS
 
     def pend_mask(st):
-        # pending = a live candidate below best_t remains, or an
+        # pending = a live candidate below the cap remains, or an
         # unexamined super could still supply one
         live = jnp.any(dec_t(st["cand"], cbits) < st["best_t"][:, None], axis=1)
         return live | (dec_t(st["next_sup"], sbits) < st["best_t"])
@@ -571,27 +654,36 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     st = jax.lax.while_loop(
         lambda st: (st["rounds"] < full_rounds) & pending(st),
         lambda st: round_body(
-            st, o, d, ign_f, m_pad_full, k, KSUP, t_all_full, sup_ord
+            st, o, d, ign_f, m_pad_full, k, w_full, KSUP, t_all_full, sup_ord
         ),
         state,
     )
 
-    # ---- straggler compaction: gather the first nc still-pending rays
-    # into a dense sub-problem with escalated pop/refill widths
-    # (stragglers span many supers — workload p99: 53 eligible chunks),
-    # scatter back, repeat. Two levels: a bounded bulk pass at n/8, then
-    # a completion loop at n/32.
-    def compact_phase(stf0, nc_, inner_cap, outer_cap, ks, ksup, t_all_k):
-        m_pad_c = -(-(nc_ * ks) // 1024) * 1024
+    # ---- straggler compaction: ONE fat phase. Gather the first nc
+    # still-pending rays into a dense sub-problem with escalated pop and
+    # refill widths (stragglers span many supers — workload p99: 53
+    # eligible chunks), scatter back, repeat while any ray pends.
+    if nc < n:
+        ks = k_straggler
+        ksup_t = TAIL_KSUP
+        w_tail = ksup_t * SUP + ks - 1
+        t_all_tail = make_t_all(ksup_t)
+        m_pad_c = -(-(nc * ks) // 1024) * 1024
         iota_n = jnp.arange(n, dtype=jnp.int32)
-        iota_nc = jnp.arange(nc_, dtype=jnp.int32)
+        iota_nc = jnp.arange(nc, dtype=jnp.int32)
+        # widen the candidate buffer for the whole tail phase (tail
+        # refills add ksup_t*SUP keys; pop/keep arithmetic needs w_tail)
+        st["cand"] = jnp.concatenate(
+            [st["cand"], jnp.full((n, w_tail - w_full), _INT_INF, jnp.int32)],
+            axis=1,
+        )
 
         def outer(stf):
             pend = pend_mask(stf)
             cnt = jnp.cumsum(pend.astype(jnp.int32))
             total = cnt[-1]
-            pos = jnp.where(pend & (cnt <= nc_), cnt - 1, nc_)
-            idxs = jnp.zeros((nc_,), jnp.int32).at[pos].set(iota_n, mode="drop")
+            pos = jnp.where(pend & (cnt <= nc), cnt - 1, nc)
+            idxs = jnp.zeros((nc,), jnp.int32).at[pos].set(iota_n, mode="drop")
             live = iota_nc < total  # duplicate-of-ray-0 padding lanes
 
             o_s, d_s, ign_s = o[idxs], d[idxs], ign_f[idxs]
@@ -599,48 +691,51 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             sub = dict(
                 # dead padding lanes get best_t 0: nothing is ever eligible
                 best_t=jnp.where(live, stf["best_t"][idxs], 0.0),
-                best_p=stf["best_p"][idxs],
-                best_u=stf["best_u"][idxs], best_v=stf["best_v"][idxs],
+                best_key=stf["best_key"][idxs],
+                best_chunk=stf["best_chunk"][idxs],
                 cand=stf["cand"][idxs],
                 cursor=stf["cursor"][idxs],
                 next_sup=stf["next_sup"][idxs],
                 rounds=jnp.zeros((), jnp.int32),
             )
             done = jax.lax.while_loop(
-                lambda s: (s["rounds"] < inner_cap) & jnp.any(pend_mask(s)),
+                lambda s: (s["rounds"] < max_rounds) & jnp.any(pend_mask(s)),
                 lambda s: round_body(
-                    s, o_s, d_s, ign_s, m_pad_c, ks, ksup, t_all_k, sup_ord_s
+                    s, o_s, d_s, ign_s, m_pad_c, ks, w_tail, ksup_t,
+                    t_all_tail, sup_ord_s,
                 ),
                 sub,
             )
 
             tgt = jnp.where(live, idxs, n)  # sentinel rows dropped
             out = dict(stf)
-            for f in ("best_t", "best_p", "best_u", "best_v", "cand",
+            for f in ("best_t", "best_key", "best_chunk", "cand",
                       "cursor", "next_sup"):
                 out[f] = stf[f].at[tgt].set(done[f], mode="drop")
             out["outer"] = stf["outer"] + 1
             return out
 
-        out = jax.lax.while_loop(
+        outer_cap = (n // nc + 2) * 4
+        st = jax.lax.while_loop(
             lambda s: (s["outer"] < outer_cap) & pending(s),
             outer,
-            {**stf0, "outer": jnp.zeros((), jnp.int32)},
+            {**st, "outer": jnp.zeros((), jnp.int32)},
         )
-        out.pop("outer")
-        return out
-
-    if nc < n:
-        st = compact_phase(st, nc, 3, 2, k_straggler, KSUP, t_all_full)
-        nc2 = min(n, max(1024, (-(-(n // 32) // 1024)) * 1024))
-        st = compact_phase(
-            st, nc2, max_rounds, (n // nc2 + 2) * 6, TAIL_K, TAIL_KSUP,
-            t_all_tail,
-        )
+        st.pop("outer")
 
     if occlude:
         return (best_t0 > 0.0) & (st["best_t"] <= 0.0)
-    return st["best_t"], st["best_p"], st["best_u"], st["best_v"]
+
+    # ---- exact recovery: ONE re-intersection of each ray's winning chunk
+    # gives exact (t, prim, u, v) under the same findFar/ignore semantics
+    # (the rounds only tracked the truncated key)
+    sel = st["best_chunk"][None]  # (1, n); -1 where no hit
+    m_pad_f = -(-n // 1024) * 1024
+    t4, p4, u4, v4 = _pack_and_intersect(
+        sel, o, d, st["best_t"], ign_f, prim_chunks,
+        c, has_tri, has_sph, m_pad_f, keyed=False,
+    )
+    return t4[0], p4[0], u4[0], v4[0]
 
 
 # ---------------------------------------------------------------------------
@@ -649,7 +744,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
 
 
 def trace_binned(geom, soa: HierSoA, o, d, t_max, ignore, *,
-                 rounds: int = 4096, k: int = 4, k_straggler: int = 8) -> Hit:
+                 rounds: int = 4096, k: int = 4, k_straggler: int = 32) -> Hit:
     """Closest-hit via binned traversal; same contract as intersect_hier
     (non-instanced scenes: Hit.prim in storage ids, findFar semantics).
     `rounds` is a safety cap — the loop normally runs until every ray's
@@ -677,7 +772,7 @@ def trace_binned(geom, soa: HierSoA, o, d, t_max, ignore, *,
 
 def occlude_binned(geom, soa: HierSoA, o, d, t_max, ignore, *,
                    rounds: int = 4096, k: int = 4,
-                   k_straggler: int = 8) -> jax.Array:
+                   k_straggler: int = 32) -> jax.Array:
     """Any-hit within (EPS, t_max) via binned traversal; same contract as
     occlude_hier."""
     assert not soa.instanced, "binned traversal: instancing via scene_ops dispatch"

@@ -188,10 +188,12 @@ class TestRepoScenes:
         assert np.isfinite(out["main"]).all()
 
 
-def test_pack_instance_swatch_syntax(tmp_path):
+@pytest.mark.parametrize("method", ["Map", "Set"])
+def test_pack_instance_swatch_syntax(tmp_path, method):
     """PackInstance + MaterialSwatch in .echo: two placements of one pack,
     the second overriding red -> green through the swatch (reference
-    PackInstance.Swatch; .Map stands in for the C# indexer)."""
+    PackInstance.Swatch; .Set is the reference's EchoSourceUsable spelling,
+    MaterialSwatch.cs:73-74; .Map is this dialect's alias)."""
     src_text = """
 :red = new Diffuse { .Albedo = "0.9 0.1 0.1" }
 :green = new Diffuse { .Albedo = "0.1 0.9 0.1" }
@@ -209,7 +211,7 @@ def test_pack_instance_swatch_syntax(tmp_path):
 }
 """
     f = tmp_path / "swatch.echo"
-    f.write_text(src_text)
+    f.write_text(src_text.replace(".Map(", f".{method}("))
     from echorenderer_tpu.io.echo_dsl import EchoSource
     from echorenderer_tpu.processes.render import (
         EvaluationProfile,
