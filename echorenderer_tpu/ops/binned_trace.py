@@ -477,19 +477,16 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     cb_look = jnp.concatenate(
         [cb, jnp.full((c_pad - c, 6), _INF, jnp.float32)], axis=0
     )
-    # block-diagonal lookup tables (one per refill width): ONE (N, ksup*S)
-    # one-hot matmul fetches the examined supers' chunk bounds as six
-    # (N, ksup*SUP) component-major arrays (minor-dim-6 layouts ran at ~5%
-    # lane efficiency)
-    def make_t_all(ksup):
-        eye_k = jnp.eye(ksup, dtype=jnp.float32)
-        return jnp.concatenate(
-            [
-                jnp.kron(eye_k, cb_look[:, comp].reshape(s_count, SUP))
-                for comp in range(6)
-            ],
-            axis=1,
-        )  # (ksup*S, 6*ksup*SUP)
+    # one-hot lookup table: row s = super s's SUP chunk bounds laid out
+    # component-major [lo_x(SUP) lo_y lo_z hi_x hi_y hi_z] (minor-dim-6
+    # layouts ran at ~5% lane efficiency). The refill fetches each
+    # examined super with its own (N, S) x (S, 6*SUP) matmul — the r3
+    # block-diagonal kron variant cost ksup x the flops for the same
+    # gather (100 GFLOP/round at ksup=4; 98 in the ksup=16 tail)
+    base_tbl = jnp.concatenate(
+        [cb_look[:, comp].reshape(s_count, SUP) for comp in range(6)],
+        axis=1,
+    )  # (S, 6*SUP)
 
     iota_s = jnp.arange(s_count, dtype=jnp.int32)
     iota_sup = jnp.arange(SUP, dtype=jnp.int32)
@@ -516,54 +513,43 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         )
         return jnp.where(pos < s_count, key, _INT_INF)
 
-    def refill(st, o_, d_, do_refill, ksup, t_all_k, sup_ord_):
+    def refill(st, o_, d_, do_refill, ksup, sup_ord_):
         """Examine each refilling ray's next `ksup` supers: slab-test all
         their SUP chunks and return packed candidate keys for the eligible
         ones ((n, ksup*SUP), _INT_INF elsewhere), plus the advanced cursor
-        and the next unexamined super's key."""
-        n_ = o_.shape[0]
+        and the next unexamined super's key. One (N, S) x (S, 6*SUP)
+        one-hot matmul per examined super fetches its chunk bounds."""
         cursor, best_t = st["cursor"], st["best_t"]
-        sup_key = jnp.stack(
-            [extract_sup(sup_ord_, cursor + j) for j in range(ksup)], axis=1
-        )  # (n, ksup)
-        sup_t = dec_t(sup_key, sbits)
-        sup_ok = do_refill[:, None] & (sup_key != _INT_INF) & (
-            sup_t < best_t[:, None]
-        )
-        sup_sel = jnp.where(sup_ok, sup_key & smask, 0)  # ids (0 if unused)
-        glob = (sup_sel[:, :, None] * SUP + iota_sup[None, None, :]).reshape(
-            n_, ksup * SUP
-        )
-        oh = jnp.concatenate(
-            [
-                jnp.where(
-                    sup_ok[:, j : j + 1], iota_s[None] == sup_sel[:, j : j + 1],
-                    False,
-                ).astype(jnp.float32)
-                for j in range(ksup)
-            ],
-            axis=1,
-        )  # (n, ksup*S) one-hot rows
-        g = jnp.dot(
-            oh, t_all_k,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,  # exact (one-hot gather)
-        )  # (n, 6G): [lo_x | lo_y | lo_z | hi_x | hi_y | hi_z] blocks
-        gdim = ksup * SUP
         inv = _inv_dir(d_)
-        tn_c = tf_c = None
-        for a in range(3):
-            t0 = (g[:, a * gdim : (a + 1) * gdim] - o_[:, a : a + 1]) * inv[:, a : a + 1]
-            t1 = (g[:, (3 + a) * gdim : (4 + a) * gdim] - o_[:, a : a + 1]) * inv[:, a : a + 1]
-            tn_a = jnp.minimum(t0, t1)
-            tf_a = jnp.maximum(t0, t1)
-            tn_c = tn_a if tn_c is None else jnp.maximum(tn_c, tn_a)
-            tf_c = tf_a if tf_c is None else jnp.minimum(tf_c, tf_a)
-        ok = (
-            (tn_c <= tf_c) & (tf_c > 0.0) & (tn_c < best_t[:, None])
-            & jnp.repeat(sup_ok, SUP, axis=1)
-        )
-        new_keys = enc(jnp.where(ok, tn_c, _INF), glob, cbits)
+        keys = []
+        for j in range(ksup):
+            sup_key = extract_sup(sup_ord_, cursor + j)  # (n,)
+            sup_t = dec_t(sup_key, sbits)
+            sup_ok = do_refill & (sup_key != _INT_INF) & (sup_t < best_t)
+            sup_sel = jnp.where(sup_ok, sup_key & smask, 0)  # id (0 unused)
+            glob = sup_sel[:, None] * SUP + iota_sup[None, :]  # (n, SUP)
+            oh = jnp.where(
+                sup_ok[:, None], iota_s[None] == sup_sel[:, None], False
+            ).astype(jnp.float32)  # (n, S)
+            g = jnp.dot(
+                oh, base_tbl,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,  # exact (one-hot gather)
+            )  # (n, 6*SUP): [lo_x | lo_y | lo_z | hi_x | hi_y | hi_z]
+            tn_c = tf_c = None
+            for a in range(3):
+                t0 = (g[:, a * SUP : (a + 1) * SUP] - o_[:, a : a + 1]) * inv[:, a : a + 1]
+                t1 = (g[:, (3 + a) * SUP : (4 + a) * SUP] - o_[:, a : a + 1]) * inv[:, a : a + 1]
+                tn_a = jnp.minimum(t0, t1)
+                tf_a = jnp.maximum(t0, t1)
+                tn_c = tn_a if tn_c is None else jnp.maximum(tn_c, tn_a)
+                tf_c = tf_a if tf_c is None else jnp.minimum(tf_c, tf_a)
+            ok = (
+                (tn_c <= tf_c) & (tf_c > 0.0) & (tn_c < best_t[:, None])
+                & sup_ok[:, None]
+            )
+            keys.append(enc(jnp.where(ok, tn_c, _INF), glob, cbits))
+        new_keys = jnp.concatenate(keys, axis=1)  # (n, ksup*SUP)
         adv = jnp.where(do_refill, jnp.int32(ksup), 0)
         new_cursor = cursor + adv
         next_sup = jnp.where(
@@ -571,8 +557,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         )
         return new_keys, new_cursor, next_sup
 
-    def round_body(st, o_, d_, ign_f_, m_pad_, k_, w_, ksup, t_all_k,
-                   sup_ord_):
+    def round_body(st, o_, d_, ign_f_, m_pad_, k_, w_, ksup, sup_ord_):
         """One round: purge, refill-if-low, ONE row sort, pop k_, batch
         intersect (keyed), merge by integer min. w_ = candidate-buffer
         width this phase."""
@@ -584,7 +569,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         next_t = dec_t(st["next_sup"], sbits)
         do_refill = (n_live < k_) & (next_t < best_t)
         new_keys, cursor, next_sup = refill(
-            st, o_, d_, do_refill, ksup, t_all_k, sup_ord_
+            st, o_, d_, do_refill, ksup, sup_ord_
         )
         srt = jax.lax.sort(
             jnp.concatenate([cand, new_keys], axis=1), dimension=1
@@ -637,7 +622,6 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         rounds=jnp.zeros((), jnp.int32),
     )
 
-    t_all_full = make_t_all(KSUP)
     m_pad_full = -(-(n * k) // 1024) * 1024
     nc = min(n, max(1024, (-(-(n // COMPACT_FRACTION) // 1024)) * 1024))
     full_rounds = max_rounds if nc >= n else FULL_ROUNDS
@@ -654,7 +638,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     st = jax.lax.while_loop(
         lambda st: (st["rounds"] < full_rounds) & pending(st),
         lambda st: round_body(
-            st, o, d, ign_f, m_pad_full, k, w_full, KSUP, t_all_full, sup_ord
+            st, o, d, ign_f, m_pad_full, k, w_full, KSUP, sup_ord
         ),
         state,
     )
@@ -667,7 +651,6 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         ks = k_straggler
         ksup_t = TAIL_KSUP
         w_tail = ksup_t * SUP + ks - 1
-        t_all_tail = make_t_all(ksup_t)
         m_pad_c = -(-(nc * ks) // 1024) * 1024
         iota_n = jnp.arange(n, dtype=jnp.int32)
         iota_nc = jnp.arange(nc, dtype=jnp.int32)
@@ -702,7 +685,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
                 lambda s: (s["rounds"] < max_rounds) & jnp.any(pend_mask(s)),
                 lambda s: round_body(
                     s, o_s, d_s, ign_s, m_pad_c, ks, w_tail, ksup_t,
-                    t_all_tail, sup_ord_s,
+                    sup_ord_s,
                 ),
                 sub,
             )
