@@ -120,31 +120,41 @@ def _tree_depth(child_code: np.ndarray, root: int) -> int:
     return depth
 
 
-def _pack_chunks(geom: FlatGeometry, order: np.ndarray):
+def _pack_chunks(geom: FlatGeometry, order: np.ndarray, packed=None):
     """Pack prims (already permuted into `order`) into (C, 16, HCHUNK)
-    chunk tensors plus per-chunk AABBs. Returns (prim_chunks, clo, chi)."""
+    chunk tensors plus per-chunk AABBs. Returns (prim_chunks, clo, chi);
+    prim_chunks is a DEVICE array — the tensor is assembled on-device
+    because this host first-touches fresh allocations at ~10-25 MB/s
+    (profiled r3: the two host copies of the 65 MB tensor at 1M tris were
+    ~12 s of prep). clo/chi stay host (the SAH chunk-tree builder needs
+    them). `packed` = precomputed pack_sorted_prims(geom, order)."""
     p = len(order)
-    a, b, c, is_sph, lo, hi = pack_sorted_prims(geom, order)
+    a, b, c, is_sph, lo, hi = (
+        packed if packed is not None else pack_sorted_prims(geom, order)
+    )
     pad = -(-max(p, 1) // HCHUNK) * HCHUNK
     n_chunks = pad // HCHUNK
 
-    rows = np.zeros((16, pad), np.float32)
-    rows[0, :] = 1e30  # padded v0 far away, e1=e2=0 -> det 0 -> invalid
-    rows[1, :] = 1e30
-    rows[2, :] = 1e30
-    comp = [a[:, 0], a[:, 1], a[:, 2], b[:, 0], b[:, 1], b[:, 2],
-            c[:, 0], c[:, 1], c[:, 2], is_sph]
-    for i, col in enumerate(comp):
-        rows[i, :p] = col
-    prim_chunks = rows.reshape(16, n_chunks, HCHUNK).transpose(1, 0, 2).copy()
+    fill = jnp.zeros((16, pad), jnp.float32)
+    # padded v0 far away, e1=e2=0 -> det 0 -> invalid
+    fill = fill.at[0:3, :].set(1e30)
+    rows = (
+        fill.at[0:3, :p].set(jnp.asarray(a).T)
+        .at[3:6, :p].set(jnp.asarray(b).T)
+        .at[6:9, :p].set(jnp.asarray(c).T)
+        .at[9, :p].set(jnp.asarray(is_sph))
+    )
+    prim_chunks = rows.reshape(16, n_chunks, HCHUNK).transpose(1, 0, 2)
 
+    nfull = p // HCHUNK
     clo = np.full((n_chunks, 3), 1e30, np.float32)
     chi = np.full((n_chunks, 3), -1e30, np.float32)
-    for ci in range(n_chunks):
-        seg = slice(ci * HCHUNK, min((ci + 1) * HCHUNK, p))
-        if seg.start < p:
-            clo[ci] = lo[seg].min(0)
-            chi[ci] = hi[seg].max(0)
+    if nfull:
+        clo[:nfull] = lo[: nfull * HCHUNK].reshape(nfull, HCHUNK, 3).min(1)
+        chi[:nfull] = hi[: nfull * HCHUNK].reshape(nfull, HCHUNK, 3).max(1)
+    if p > nfull * HCHUNK:
+        clo[nfull] = lo[nfull * HCHUNK :].min(0)
+        chi[nfull] = hi[nfull * HCHUNK :].max(0)
     return prim_chunks, clo, chi
 
 
@@ -191,18 +201,20 @@ def _offset_tree_depth(child_code: np.ndarray, root: int, node_base: int) -> int
     return depth
 
 
-def build_hier_soa(geom: FlatGeometry, order: np.ndarray) -> HierSoA:
+def build_hier_soa(geom: FlatGeometry, order: np.ndarray,
+                   packed=None) -> HierSoA:
     """Host-side build for a single (non-instanced) geometry: pack prims
     (sorted order) into chunks and build a binary SAH tree over the chunk
     AABBs (reusing the production builder from aggregation/bvh.py,
-    native-accelerated)."""
+    native-accelerated). `packed` = precomputed
+    pack_sorted_prims(geom, order) shared with the dense builder."""
     t = geom.num_triangles
     p = t + geom.num_spheres
     order = np.asarray(order, np.int32)
     inv_order = np.empty_like(order)
     inv_order[order] = np.arange(p, dtype=np.int32)
 
-    prim_chunks, clo, chi = _pack_chunks(geom, order)
+    prim_chunks, clo, chi = _pack_chunks(geom, order, packed=packed)
     bounds, codes, root, depth = _chunk_tree(clo, chi, 0, 0)
     assert root >= 0, "hier tree root must be interior (>= 2 chunks)"
 
@@ -314,7 +326,7 @@ def build_hier_soa_instanced(
     valid = sorted_ids >= 0
     slot_of[sorted_ids[valid]] = np.nonzero(valid)[0]
 
-    prim_chunks = np.concatenate(all_chunks, 0)
+    prim_chunks = jnp.concatenate(all_chunks, 0)  # device tensors
     bounds = np.concatenate([tlas_bounds] + bounds_parts, 0)
     codes = np.concatenate([tlas_codes] + codes_parts, 0)
     if bounds.shape[0] == 0:

@@ -81,11 +81,17 @@ class PrimSoA(NamedTuple):
         return self.ax.shape[1]
 
 
-def pack_sorted_prims(geom: FlatGeometry, order: np.ndarray):
+def pack_sorted_prims(geom: FlatGeometry, order: np.ndarray, bounds=None):
     """Host-side shared packing: primitive components permuted into the
     given (spatially coherent) order, plus per-prim AABBs. Used by both the
     dense-chunk layout below and the hierarchical layout in pallas_hier.
-    Returns (a, b, c, is_sph, lo, hi) as (p, ...) numpy arrays."""
+    Returns (a, b, c, is_sph, lo, hi) as (p, ...) numpy arrays.
+
+    `bounds` = precomputed (bmin, bmax) per-prim AABBs in ORIGINAL order
+    (aggregation.bvh.geometry_bounds output) — passing them replaces the
+    min/max temporary chain with two permutes. This host is page-fault
+    bound (~10-25 MB/s first touch of fresh allocations, profiled r3), so
+    prep cost tracks bytes allocated, not flops."""
     t = geom.num_triangles
     s = geom.num_spheres
     v0 = np.asarray(geom.tri_v0) if t else np.zeros((0, 3), np.float32)
@@ -100,15 +106,22 @@ def pack_sorted_prims(geom: FlatGeometry, order: np.ndarray):
     c = np.concatenate([e2, np.zeros((s, 3), np.float32)], 0)
     is_sph = np.concatenate([np.zeros(t, np.float32), np.ones(s, np.float32)])
     a, b, c, is_sph = a[order], b[order], c[order], is_sph[order]
+    if bounds is not None:
+        lo = np.ascontiguousarray(bounds[0][order], np.float32)
+        hi = np.ascontiguousarray(bounds[1][order], np.float32)
+        return a, b, c, is_sph, lo, hi
     lo = np.where(is_sph[:, None] > 0.5, a - b[:, :1], np.minimum(np.minimum(a, a + b), a + c))
     hi = np.where(is_sph[:, None] > 0.5, a + b[:, :1], np.maximum(np.maximum(a, a + b), a + c))
     return a, b, c, is_sph, lo, hi
 
 
-def build_prim_soa(geom: FlatGeometry, order: np.ndarray | None = None) -> PrimSoA:
+def build_prim_soa(geom: FlatGeometry, order: np.ndarray | None = None,
+                   packed=None) -> PrimSoA:
     """Host-side packing of FlatGeometry into kernel layout. `order` is a
     spatially coherent permutation (BVH leaf order) so chunk AABBs stay
-    tight; identity when omitted."""
+    tight; identity when omitted. `packed` is an optional precomputed
+    pack_sorted_prims(geom, order) result shared with the hierarchical
+    builder (only honored when `order` is used as passed)."""
     t = geom.num_triangles
     s = geom.num_spheres
     p = t + s
@@ -123,11 +136,27 @@ def build_prim_soa(geom: FlatGeometry, order: np.ndarray | None = None) -> PrimS
         # single chunk: culling never fires, keep identity (skips the
         # sorted<->original id gathers on every trace)
         order = np.arange(p, dtype=np.int32)
+        packed = None
     order = np.asarray(order, np.int32)
     inv_order = np.empty_like(order)
     inv_order[order] = np.arange(p, dtype=np.int32)
 
-    a, b, c, is_sph, lo, hi = pack_sorted_prims(geom, order)
+    if pad > PALLAS_PRIM_LIMIT:
+        # beyond the streamed kernel's envelope the dense tables are never
+        # read (scene_ops gates on padded <= limit; hier/binned traversal
+        # owns these scenes) — device zeros keep shapes/`padded` honest
+        # without paying ~40 MB of page-fault-bound host packing
+        zrow = jnp.zeros((1, pad), jnp.float32)
+        z8 = jnp.zeros((8, 1), jnp.float32)
+        return PrimSoA(
+            ax=zrow, ay=zrow, az=zrow, bx=zrow, by=zrow, bz=zrow,
+            cx=zrow, cy=zrow, cz=zrow, is_sphere=zrow,
+            chunk_bounds=z8, super_bounds=z8,
+            order=jnp.asarray(order), inv_order=jnp.asarray(inv_order),
+            num_tris=t, num_prims=p,
+        )
+
+    a, b, c, is_sph, lo, hi = packed if packed is not None else pack_sorted_prims(geom, order)
 
     def row(vals, fill):
         out = np.full(pad, fill, np.float32)

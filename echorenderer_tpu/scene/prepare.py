@@ -513,7 +513,13 @@ def prepare_scene(
     # over the material-id arrays (a python per-prim loop costs minutes on
     # multi-hundred-k-triangle scenes)
     emissive_prims = []
-    tri_area = 0.5 * np.linalg.norm(np.cross(geom_np["tri_e1"], geom_np["tri_e2"]), axis=-1)
+    # geometric normals + areas computed ONCE and reused by the shade pack
+    # below (this host first-touches fresh allocations at ~10-25 MB/s, so
+    # a duplicated 1M-row cross costs seconds — profiled r3)
+    geo_normal = np.cross(geom_np["tri_e1"], geom_np["tri_e2"])
+    tri_area2 = np.linalg.norm(geo_normal, axis=-1)
+    geo_normal /= np.maximum(tri_area2[:, None], 1e-20)
+    tri_area = 0.5 * tri_area2
     mat_power = np.asarray(
         [
             m.power if isinstance(m, mat_mod.Emissive) else 0.0
@@ -649,6 +655,12 @@ def prepare_scene(
     # host-side twin for the kernel-layout builders: reading the device
     # arrays back costs ~5 s per transfer through the TPU tunnel
     geom_host = FlatGeometry(**geom_np)
+    from ..ops.pallas_intersect import pack_sorted_prims
+
+    packed = pack_sorted_prims(
+        geom_host, np.asarray(bvh_host["prim_order"], np.int32),
+        bounds=(bmin, bmax),
+    )
     mats = MaterialTable(
         type=jnp.asarray(mtypes),
         albedo=jnp.asarray(malbedo),
@@ -665,25 +677,31 @@ def prepare_scene(
         ),
     )
     # --- packed shading rows (single-gather interact) ---
-    shade = np.zeros((num_prims, 24), np.float32)
-    gn = np.cross(geom_np["tri_e1"], geom_np["tri_e2"])
-    tri_area2 = np.linalg.norm(gn, axis=-1)
-    gn = gn / np.maximum(tri_area2[:, None], 1e-20)
-    shade[:num_tris, 0:3] = gn
-    shade[:num_tris, 3:6] = geom_np["tri_n0"]
-    shade[:num_tris, 6:9] = geom_np["tri_n1"]
-    shade[:num_tris, 9:12] = geom_np["tri_n2"]
-    shade[:num_tris, 12:14] = geom_np["tri_uv0"]
-    shade[:num_tris, 14:16] = geom_np["tri_uv1"]
-    shade[:num_tris, 16:18] = geom_np["tri_uv2"]
-    shade[:num_tris, 18] = geom_np["tri_mat"]
-    shade[:num_tris, 19] = 0.5 * tri_area2
+    # assembled ON DEVICE: the (P, 24) host buffer alone cost ~10 s of
+    # first-touch page faults at 1M prims (profiled r3)
+    dev = jnp.asarray
+    shade = jnp.zeros((num_prims, 24), jnp.float32)
+    shade = (
+        shade.at[:num_tris, 0:3].set(dev(geo_normal.astype(np.float32)))
+        .at[:num_tris, 3:6].set(dev(geom_np["tri_n0"]))
+        .at[:num_tris, 6:9].set(dev(geom_np["tri_n1"]))
+        .at[:num_tris, 9:12].set(dev(geom_np["tri_n2"]))
+        .at[:num_tris, 12:14].set(dev(geom_np["tri_uv0"]))
+        .at[:num_tris, 14:16].set(dev(geom_np["tri_uv1"]))
+        .at[:num_tris, 16:18].set(dev(geom_np["tri_uv2"]))
+        .at[:num_tris, 18].set(dev(geom_np["tri_mat"].astype(np.float32)))
+        .at[:num_tris, 19].set(dev((0.5 * tri_area2).astype(np.float32)))
+    )
     if num_prims > num_tris:
-        shade[num_tris:, 0:3] = geom_np["sph_center"]
-        shade[num_tris:, 3] = geom_np["sph_radius"]
-        shade[num_tris:, 18] = geom_np["sph_mat"]
-        shade[num_tris:, 19] = 4.0 * np.pi * geom_np["sph_radius"] ** 2
-        shade[num_tris:, 20] = 1.0
+        shade = (
+            shade.at[num_tris:, 0:3].set(dev(geom_np["sph_center"]))
+            .at[num_tris:, 3].set(dev(geom_np["sph_radius"]))
+            .at[num_tris:, 18].set(dev(geom_np["sph_mat"].astype(np.float32)))
+            .at[num_tris:, 19].set(
+                dev(4.0 * np.pi * geom_np["sph_radius"] ** 2)
+            )
+            .at[num_tris:, 20].set(1.0)
+        )
 
     mat_pack = np.zeros((len(materials), 16), np.float32)
     mat_pack[:, 0:3] = malbedo
@@ -702,7 +720,7 @@ def prepare_scene(
             epack[i, 0:3] = geom_np["tri_v0"][p]
             epack[i, 3:6] = geom_np["tri_e1"][p]
             epack[i, 6:9] = geom_np["tri_e2"][p]
-            epack[i, 9:12] = gn[p]
+            epack[i, 9:12] = geo_normal[p]
             epack[i, 15] = 0.5 * tri_area2[p]
         else:
             s = p - num_tris
@@ -724,13 +742,15 @@ def prepare_scene(
         env_maps=tuple(env_maps),
         tex_atlas=jnp.asarray(tex_atlas),
         # kernel prim layout in BVH-leaf order: spatially tight chunks for
-        # the packet-culling AABB test
-        prim_soa=build_prim_soa(geom_host, order=bvh_host["prim_order"]),
+        # the packet-culling AABB test; pack once, share across builders
+        prim_soa=build_prim_soa(
+            geom_host, order=bvh_host["prim_order"], packed=packed
+        ),
         shade_pack=jnp.asarray(shade),
         mat_pack=jnp.asarray(mat_pack),
         emissive_pack=jnp.asarray(epack),
         hier_soa=(
-            build_hier_soa(geom_host, bvh_host["prim_order"])
+            build_hier_soa(geom_host, bvh_host["prim_order"], packed=packed)
             if num_prims >= HIER_BUILD_MIN
             else None
         ),
