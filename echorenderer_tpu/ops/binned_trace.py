@@ -413,10 +413,13 @@ def _key_ub(key):
 @functools.partial(
     jax.jit,
     static_argnames=("has_tri", "has_sph", "k", "k_straggler", "occlude",
-                     "max_rounds"),
+                     "max_rounds", "full_rounds", "compact_fraction",
+                     "ksup", "tail_ksup"),
 )
 def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
-                       has_tri, has_sph, k, k_straggler, occlude, max_rounds):
+                       has_tri, has_sph, k, k_straggler, occlude, max_rounds,
+                       full_rounds=None, compact_fraction=None, ksup=None,
+                       tail_ksup=None):
     """Candidate-buffer traversal (v4). Each ray carries:
 
       * sup_ord (N, S): its supers sorted by box-entry distance, packed as
@@ -611,7 +614,14 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         enc(sup_tn, jnp.broadcast_to(iota_s[None], sup_tn.shape), sbits),
         dimension=1,
     )
-    w_full = KSUP * SUP + k - 1
+    # phase shape knobs: call-site overrides for perf sweeps; module
+    # constants are the tuned production defaults
+    ksup = KSUP if ksup is None else ksup
+    tail_ksup = TAIL_KSUP if tail_ksup is None else tail_ksup
+    compact_fraction = (
+        COMPACT_FRACTION if compact_fraction is None else compact_fraction
+    )
+    w_full = ksup * SUP + k - 1
     state = dict(
         best_t=best_t0,
         best_key=jnp.full((n,), _INT_INF, jnp.int32),
@@ -623,8 +633,11 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     )
 
     m_pad_full = -(-(n * k) // 1024) * 1024
-    nc = min(n, max(1024, (-(-(n // COMPACT_FRACTION) // 1024)) * 1024))
-    full_rounds = max_rounds if nc >= n else FULL_ROUNDS
+    nc = min(n, max(1024, (-(-(n // compact_fraction) // 1024)) * 1024))
+    if full_rounds is None:
+        full_rounds = FULL_ROUNDS
+    if nc >= n:
+        full_rounds = max_rounds
 
     def pend_mask(st):
         # pending = a live candidate below the cap remains, or an
@@ -638,7 +651,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     st = jax.lax.while_loop(
         lambda st: (st["rounds"] < full_rounds) & pending(st),
         lambda st: round_body(
-            st, o, d, ign_f, m_pad_full, k, w_full, KSUP, sup_ord
+            st, o, d, ign_f, m_pad_full, k, w_full, ksup, sup_ord
         ),
         state,
     )
@@ -649,7 +662,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     # eligible chunks), scatter back, repeat while any ray pends.
     if nc < n:
         ks = k_straggler
-        ksup_t = TAIL_KSUP
+        ksup_t = tail_ksup
         w_tail = ksup_t * SUP + ks - 1
         m_pad_c = -(-(nc * ks) // 1024) * 1024
         iota_n = jnp.arange(n, dtype=jnp.int32)
@@ -711,11 +724,26 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
 
     # ---- exact recovery: ONE re-intersection of each ray's winning chunk
     # gives exact (t, prim, u, v) under the same findFar/ignore semantics
-    # (the rounds only tracked the truncated key)
+    # (the rounds only tracked the truncated key). The cap is widened by
+    # one EXTRA band beyond _key_ub: the keyed kernel and this pass are
+    # separately compiled evaluations of the same f32 formula, so their t
+    # can differ by a few ulps — with the tight cap, an exact t landing ON
+    # the band's upper bound fails the strict `t < tmax` test and the hit
+    # is lost (found as a 1-in-4096-rays miss on CPU). The widening stays
+    # inside the documented one-band tie tolerance.
+    bk = st["best_key"]
+    rec_cap = jnp.where(
+        bk == _INT_INF,
+        st["best_t"],
+        jax.lax.bitcast_convert_type(
+            (bk & jnp.int32(-(1 << _PBITS))) + jnp.int32(2 << _PBITS),
+            jnp.float32,
+        ),
+    )
     sel = st["best_chunk"][None]  # (1, n); -1 where no hit
     m_pad_f = -(-n // 1024) * 1024
     t4, p4, u4, v4 = _pack_and_intersect(
-        sel, o, d, st["best_t"], ign_f, prim_chunks,
+        sel, o, d, rec_cap, ign_f, prim_chunks,
         c, has_tri, has_sph, m_pad_f, keyed=False,
     )
     return t4[0], p4[0], u4[0], v4[0]
@@ -727,11 +755,13 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
 
 
 def trace_binned(geom, soa: HierSoA, o, d, t_max, ignore, *,
-                 rounds: int = 4096, k: int = 4, k_straggler: int = 32) -> Hit:
+                 rounds: int = 4096, k: int = 4, k_straggler: int = 32,
+                 **phase_kw) -> Hit:
     """Closest-hit via binned traversal; same contract as intersect_hier
     (non-instanced scenes: Hit.prim in storage ids, findFar semantics).
     `rounds` is a safety cap — the loop normally runs until every ray's
-    frontier is exhausted."""
+    frontier is exhausted. `phase_kw` forwards the phase-shape knobs
+    (full_rounds/compact_fraction/ksup/tail_ksup) for perf sweeps."""
     assert not soa.instanced, "binned traversal: instancing via scene_ops dispatch"
     n = o.shape[0]
     ign = _sorted_ignore(soa, ignore)
@@ -740,7 +770,7 @@ def trace_binned(geom, soa: HierSoA, o, d, t_max, ignore, *,
         jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)), ign,
         soa.chunk_bounds, soa.prim_chunks,
         soa.num_tris > 0, soa.num_prims > soa.num_tris, k, k_straggler,
-        False, rounds,
+        False, rounds, **phase_kw,
     )
     sorted_id = jnp.clip(p, 0.0, soa.order.shape[0] - 1).astype(jnp.int32)
     prim = jnp.where(p >= 0.0, soa.order[sorted_id], -1)
@@ -755,7 +785,7 @@ def trace_binned(geom, soa: HierSoA, o, d, t_max, ignore, *,
 
 def occlude_binned(geom, soa: HierSoA, o, d, t_max, ignore, *,
                    rounds: int = 4096, k: int = 4,
-                   k_straggler: int = 32) -> jax.Array:
+                   k_straggler: int = 32, **phase_kw) -> jax.Array:
     """Any-hit within (EPS, t_max) via binned traversal; same contract as
     occlude_hier."""
     assert not soa.instanced, "binned traversal: instancing via scene_ops dispatch"
@@ -766,5 +796,5 @@ def occlude_binned(geom, soa: HierSoA, o, d, t_max, ignore, *,
         jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)), ign,
         soa.chunk_bounds, soa.prim_chunks,
         soa.num_tris > 0, soa.num_prims > soa.num_tris, k, k_straggler,
-        True, rounds,
+        True, rounds, **phase_kw,
     )
