@@ -22,7 +22,9 @@ sanctioned, test-pinned exception).
 
 Supported scene envelope (everything else falls back to the XLA wavefront):
   - prims fit the dense-chunk layout (padded <= MEGA_PRIM_LIMIT)
-  - flat power-CDF light selection (no Estevez-Kulla tree)
+  - flat power-CDF light selection OR the Estevez-Kulla light tree
+    (in-kernel probabilistic descent + forward-MIS replay over one-hot
+    node fetches; tree depth <= 24 so the path bitmask is f32-exact)
   - constant ambient (no env-map importance sampling)
   - no texture atlas / normal maps
   - perspective camera (incl. thin-lens DoF)
@@ -89,8 +91,9 @@ SP_ROWS = 17
 #   10 type, 11 one_sided
 MT_ROWS = 12
 # packed light-record table: 0 kind, 1 cdf, 2 power, 3:6 pos/dir,
-#   6:9 intensity, 9 emissive index
-LT_ROWS = 10
+#   6:9 intensity, 9 emissive index, 10 w_inf (infinite-light power or 0),
+#   11 cdf over w_inf (pad 2.0), 12 record -> tree light id (-1)
+LT_ROWS = 13
 # packed emissive rows: 0:3 v0/center, 3:6 e1 (3 = radius), 6:9 e2,
 #   9:12 normal, 12:15 emitted, 15 area, 16 is_sphere, 17 sorted prim id
 EP_ROWS = 18
@@ -98,7 +101,8 @@ EP_ROWS = 18
 # camera/scalar SMEM row layout
 C_POS, C_ROT, C_FL, C_LENS, C_FOCAL = 0, 3, 12, 13, 14
 C_AMB_ALL, C_AMB_CAM, C_AMB_PMF, C_TOTAL_POWER = 16, 19, 22, 23
-C_LEN = 24
+C_P_INF, C_SUM_INF = 24, 25  # light-tree infinite/finite split scalars
+C_LEN = 26
 
 
 # ---------------------------------------------------------------------------
@@ -666,6 +670,106 @@ def _lookup(tableT, ids_row, n_cols):
     return acc
 
 
+def _tree_importance(tr, x):
+    """Importance of both packed children from a fetched light-tree node
+    row `tr` (24 grid-shaped rows), the component form of
+    aggregation/light_tree._child_importance — same formulas in the same
+    order so the descent's draws bit-match the XLA wavefront."""
+
+    def one(b):
+        c = (tr[b + 0], tr[b + 1], tr[b + 2])
+        r = tr[b + 3]
+        ax = (tr[b + 4], tr[b + 5], tr[b + 6])
+        cos_o = tr[b + 7]
+        cos_e = tr[b + 8]
+        pw = tr[b + 9]
+        delta = _vsub(c, x)
+        d2 = _vdot(delta, delta)
+        d = jnp.sqrt(jnp.maximum(d2, 1e-12))
+        wi = _vscale(delta, 1.0 / d)
+        cos_i = jnp.clip(_vdot(ax, _vneg(wi)), -1.0, 1.0)
+        sin_i = jnp.sqrt(jnp.maximum(1.0 - cos_i * cos_i, 0.0))
+        cos_oc = jnp.clip(cos_o, -1.0, 1.0)
+        sin_o = jnp.sqrt(jnp.maximum(1.0 - cos_oc * cos_oc, 0.0))
+        sin_u = jnp.clip(r / d, 0.0, 1.0)
+        cos_u = jnp.sqrt(jnp.maximum(1.0 - sin_u * sin_u, 0.0))
+        cos_ou = cos_oc * cos_u - sin_o * sin_u
+        sin_ou = sin_o * cos_u + cos_oc * sin_u
+        sum_ge_pi = cos_oc <= -cos_u
+        cos_p = cos_i * cos_ou + sin_i * sin_ou
+        inside = sum_ge_pi | (cos_i >= cos_ou)
+        cos_p_eff = jnp.where(inside, 1.0, cos_p)
+        falloff = jnp.where(
+            cos_p_eff >= cos_e, jnp.maximum(cos_p_eff, 0.0), 0.0
+        )
+        d2c = jnp.maximum(d2, (0.5 * r) ** 2)
+        return pw * falloff / d2c + pw * 1e-9
+
+    return one(0), one(_F_TREE)
+
+
+_F_TREE = 12  # floats per packed child (light_tree._F)
+_TREE_ROWS = 24  # both children per node row
+# tree-light table rows: 0 light record, 1 path bitmask, 2 leaf depth
+_TL_ROWS = 3
+
+
+def _tree_node_rows(treeT, k_pad, node_row, grid):
+    """Fetch each lane's light-tree node (24 fields) by one-hot lookup."""
+    trow = _lookup(treeT, node_row, k_pad)
+    return [grid(trow[i : i + 1]) for i in range(_TREE_ROWS)]
+
+
+def _tree_pick(treeT, k_pad, tree_depth, u_fin, x, grid, row):
+    """Probabilistic descent from shading points x with u_fin in [0,1):
+    returns (leaf id, pmf) — the in-kernel mirror of light_tree.pick."""
+    z = jnp.zeros_like(u_fin)
+    node = z
+    pmf = jnp.ones_like(u_fin)
+    out = jnp.full_like(u_fin, -1.0)
+    uu = u_fin
+    for _ in range(tree_depth):
+        live = out < 0.0
+        tr = _tree_node_rows(treeT, k_pad, row(jnp.maximum(node, 0.0)), grid)
+        imp0, imp1 = _tree_importance(tr, x)
+        total = jnp.maximum(imp0 + imp1, 1e-30)
+        p_left = imp0 / total
+        go_right = uu >= p_left
+        p_pick = jnp.where(go_right, 1.0 - p_left, p_left)
+        uu_next = jnp.where(
+            go_right,
+            (uu - p_left) / jnp.maximum(1.0 - p_left, 1e-12),
+            uu / jnp.maximum(p_left, 1e-12),
+        )
+        uu_next = jnp.clip(uu_next, 0.0, 1.0 - 1e-7)
+        is_leaf = jnp.where(go_right, tr[_F_TREE + 10], tr[10]) > 0.5
+        nxt = jnp.where(go_right, tr[_F_TREE + 11], tr[11])
+        pmf = jnp.where(live, pmf * p_pick, pmf)
+        out = jnp.where(live & is_leaf, nxt, out)
+        node = jnp.where(live & ~is_leaf, nxt, node)
+        uu = jnp.where(live, uu_next, uu)
+    return jnp.maximum(out, 0.0), pmf
+
+
+def _tree_pmf(treeT, k_pad, tree_depth, path, depth, x, grid, row):
+    """Replay the branch decisions in `path` (f32 bitmask rows) from
+    shading points x — the in-kernel mirror of light_tree.pmf_of_light."""
+    node = jnp.zeros_like(path)
+    pmf = jnp.ones_like(path)
+    path_i = path.astype(jnp.int32)
+    for d_lvl in range(tree_depth):
+        live = float(d_lvl) < depth
+        tr = _tree_node_rows(treeT, k_pad, row(node), grid)
+        imp0, imp1 = _tree_importance(tr, x)
+        total = jnp.maximum(imp0 + imp1, 1e-30)
+        go_right = ((path_i >> d_lvl) & 1) > 0
+        p = jnp.where(go_right, imp1, imp0) / total
+        nxt = jnp.where(go_right, tr[_F_TREE + 11], tr[11])
+        node = jnp.where(live, nxt, node)
+        pmf = jnp.where(live, pmf * p, pmf)
+    return pmf
+
+
 def _trace_rows(rows, chunks, o, d, tmax, ign, has_tri, has_sph):
     """Closest-hit over the VMEM-resident prim rows; (1, BR) in/out.
     Same merge as ops/pallas_intersect._trace_kernel."""
@@ -906,7 +1010,8 @@ def _mega_kernel(
     (count, bounce_limit, survivability, width, height, present,
      n_chunks, chunk_w, has_tri, has_sph, n_lights, l_pad, m_pad, e_pad,
      has_point, has_dir, has_amb, has_emissive, sp_pad,
-     hier, hier_root, hier_nsub) = static
+     hier, hier_root, hier_nsub,
+     has_tree, tree_depth, t_pad, f_pad) = static
 
     if hier:
         # large-scene path: fat chunks streamed from HBM during the walk
@@ -915,6 +1020,8 @@ def _mega_kernel(
         matT = table_refs[3][:]
         lightT = table_refs[4][:]
         epackT = table_refs[5][:]
+        treeT = table_refs[6][:] if has_tree else None
+        tlT = table_refs[7][:] if has_tree else None
         (pscratch, wstate, stack, dstate, sem0, sem1) = scratch
         rows = spT = chunks = None
     else:
@@ -923,6 +1030,8 @@ def _mega_kernel(
         matT = table_refs[11][:]
         lightT = table_refs[12][:]
         epackT = table_refs[13][:]
+        treeT = table_refs[14][:] if has_tree else None
+        tlT = table_refs[15][:] if has_tree else None
         chunks = [(c * chunk_w, (c + 1) * chunk_w) for c in range(n_chunks)]
 
     S = (1, 8, 128)
@@ -945,6 +1054,8 @@ def _mega_kernel(
     amb_cam = (cam_ref[C_AMB_CAM], cam_ref[C_AMB_CAM + 1], cam_ref[C_AMB_CAM + 2])
     amb_pmf = cam_ref[C_AMB_PMF]
     total_power = cam_ref[C_TOTAL_POWER]  # already max(sum, 1e-20)
+    p_inf = cam_ref[C_P_INF]
+    sum_inf = cam_ref[C_SUM_INF]  # already max(sum, 1e-20)
 
     size_r = np.float32(1.0) / np.float32(width)
     aspect_y = np.float32(height) / np.float32(width)
@@ -1071,7 +1182,24 @@ def _mega_kernel(
             facing & (mtype == float(EMISSIVE)), albedo, _vzero(mtype)
         )
         hit_rec = sr[15]
-        light_pm = jnp.where(hit_rec >= 0.0, sr[16] / total_power, 0.0)
+        if has_tree:
+            # forward-MIS pmf via tree replay (scene_ops.light_pmf): the
+            # hit light is always finite, so pmf = replay * (1 - p_inf)
+            hrow = _lookup(lightT, row(jnp.maximum(hit_rec, 0.0)), l_pad)
+            tree_id = grid(hrow[12:13])
+            tlrow = _lookup(tlT, row(jnp.maximum(tree_id, 0.0)), f_pad)
+            path_bits = grid(tlrow[1:2])
+            leaf_depth = grid(tlrow[2:3])
+            p_tree = _tree_pmf(
+                treeT, t_pad, tree_depth, path_bits, leaf_depth,
+                prev_point, grid, row,
+            )
+            light_pm = jnp.where(
+                (hit_rec >= 0.0) & (tree_id >= 0.0),
+                p_tree * (1.0 - p_inf), 0.0,
+            )
+        else:
+            light_pm = jnp.where(hit_rec >= 0.0, sr[16] / total_power, 0.0)
         delta_f = _vsub(point, prev_point)
         dist2_f = jnp.maximum(_vdot(delta_f, delta_f), 1e-12)
         cos_lf = jnp.abs(_vdot(geo_n, d))
@@ -1118,17 +1246,49 @@ def _mega_kernel(
 
         # --- NEE (path_step / scene_ops.pick_light + sample_light) ---
         do_nee = found & ~(bs_spec > 0.5)
-        # flat power-CDF pick (searchsorted right)
         u_pick_r = row(u_pick)
-        cdf_col = jnp.transpose(lightT[1:2, :])  # (L, 1)
-        idx_f = jnp.sum(
-            (cdf_col <= u_pick_r).astype(F32), axis=0, keepdims=True
-        )
-        idx_f = jnp.minimum(idx_f, float(n_lights - 1))
-        lrow = _lookup(lightT, idx_f, l_pad)
-        lr = [grid(lrow[i : i + 1]) for i in range(LT_ROWS)]
-        kind = lr[0]
-        pick_pmf = lr[2] / total_power
+        if has_tree:
+            # two-stage pick (scene_ops.pick_light tree branch): infinite
+            # lights by power CDF, finite lights by tree descent from the
+            # shading point
+            pick_inf_r = u_pick_r < p_inf
+            u_inf = jnp.clip(
+                u_pick_r / jnp.maximum(p_inf, 1e-12), 0.0, 1.0 - 1e-7
+            )
+            cdfi_col = jnp.transpose(lightT[11:12, :])  # (L, 1) pad 2.0
+            idx_inf = jnp.sum(
+                (cdfi_col <= u_inf).astype(F32), axis=0, keepdims=True
+            )
+            idx_inf = jnp.minimum(idx_inf, float(n_lights - 1))
+            u_fin = jnp.clip(
+                (u_pick_r - p_inf) / jnp.maximum(1.0 - p_inf, 1e-12),
+                0.0, 1.0 - 1e-7,
+            )
+            leaf, pmf_tree = _tree_pick(
+                treeT, t_pad, tree_depth, grid(u_fin), point, grid, row
+            )
+            tl = _lookup(tlT, row(leaf), f_pad)
+            rec_fin = tl[0:1]  # (1, BR) tree leaf -> light record
+            idx_f = jnp.where(pick_inf_r, idx_inf, rec_fin)
+            lrow = _lookup(lightT, idx_f, l_pad)
+            lr = [grid(lrow[i : i + 1]) for i in range(LT_ROWS)]
+            kind = lr[0]
+            pick_pmf = jnp.where(
+                grid(pick_inf_r),
+                lr[10] / sum_inf * p_inf,
+                pmf_tree * (1.0 - p_inf),
+            )
+        else:
+            # flat power-CDF pick (searchsorted right)
+            cdf_col = jnp.transpose(lightT[1:2, :])  # (L, 1)
+            idx_f = jnp.sum(
+                (cdf_col <= u_pick_r).astype(F32), axis=0, keepdims=True
+            )
+            idx_f = jnp.minimum(idx_f, float(n_lights - 1))
+            lrow = _lookup(lightT, idx_f, l_pad)
+            lr = [grid(lrow[i : i + 1]) for i in range(LT_ROWS)]
+            kind = lr[0]
+            pick_pmf = lr[2] / total_power
 
         # per-kind light samples (mirror of scene_ops.sample_light)
         x_p = point
@@ -1306,7 +1466,10 @@ def _mega_kernel(
 
 def _wrap_mega(*refs, static):
     hier = static[19]
+    has_tree = static[22]
     n_in = 13 if hier else 21  # 2 scalar + 5 ray + (3 hier | 14 dense) tables
+    if has_tree:
+        n_in += 2  # treeT, tlT
     ins, outs = refs[:n_in], refs[n_in : n_in + 6]
     scratch = refs[n_in + 6 :] if hier else None
     _mega_kernel(*ins, outs=outs, scratch=scratch, static=static)
@@ -1325,13 +1488,19 @@ def supported(scene) -> bool:
     return (
         soa is not None
         and soa.padded <= MEGA_PRIM_LIMIT
-        and scene.lights.tree is None
+        and _tree_ok(scene.lights.tree)
         and not scene.env_maps
         and scene.tex_atlas.shape[0] == 0
         and scene.camera.kind == PERSPECTIVE
         and scene.lights.num_lights <= MEGA_LIGHT_LIMIT
         and scene.emissive_pack.shape[0] <= MEGA_LIGHT_LIMIT
     )
+
+
+def _tree_ok(tree) -> bool:
+    """Light-tree descent runs in-kernel (one-hot node fetches) as long as
+    the leaf-path bitmask stays exact in an f32 table row."""
+    return tree is None or tree.max_depth <= 24
 
 
 def supported_hier(scene) -> bool:
@@ -1345,7 +1514,7 @@ def supported_hier(scene) -> bool:
         soa is not None
         and not soa.instanced
         and scene.instances is None
-        and scene.lights.tree is None
+        and _tree_ok(scene.lights.tree)
         and not scene.env_maps
         and scene.tex_atlas.shape[0] == 0
         and scene.camera.kind == PERSPECTIVE
@@ -1432,13 +1601,46 @@ def _build_tables(scene):
         ci = jnp.clip(idx, 0, lt.dir_dir.shape[0] - 1)
         posdir = jnp.where(sel, lt.dir_dir[ci], posdir)
         inten = jnp.where(sel, lt.dir_intensity[ci], inten)
+    # infinite/finite split rows (scene_ops._infinite_split, same jnp ops
+    # so the kernel's two-stage pick bit-matches the XLA wavefront)
+    inf_mask = (lt.kind == LIGHT_DIRECTIONAL) | (lt.kind == LIGHT_AMBIENT)
+    w_inf = jnp.where(inf_mask, lt.power, 0.0)
+    sum_inf = jnp.maximum(jnp.sum(w_inf), 1e-20)
+    cdf_inf = jnp.cumsum(w_inf) / sum_inf
     light_rows = jnp.stack(
         [kind, lt.cdf, lt.power, posdir[:, 0], posdir[:, 1], posdir[:, 2],
-         inten[:, 0], inten[:, 1], inten[:, 2], idx.astype(F32)], 0
+         inten[:, 0], inten[:, 1], inten[:, 2], idx.astype(F32),
+         w_inf, cdf_inf, lt.record_tree.astype(F32)], 0
     )
-    # pad cdf with 2.0 so padded records are never picked
-    pad_vals = jnp.zeros((LT_ROWS, l_pad - n_lights), F32).at[1].set(2.0)
+    # pad cdfs with 2.0 so padded records are never picked
+    pad_vals = (
+        jnp.zeros((LT_ROWS, l_pad - n_lights), F32)
+        .at[1].set(2.0).at[11].set(2.0).at[12].set(-1.0)
+    )
     lightT = jnp.concatenate([light_rows, pad_vals], axis=1)
+
+    # light-tree tables (Estevez-Kulla descent in-kernel)
+    tree = lt.tree
+    if tree is not None:
+        t_pad = _pad8(tree.nodes.shape[0])
+        treeT = jnp.pad(
+            jnp.asarray(tree.nodes, F32).T,
+            ((0, 0), (0, t_pad - tree.nodes.shape[0])),
+        )
+        n_f = lt.tree_records.shape[0]
+        f_pad = _pad8(n_f)
+        tlT = jnp.pad(
+            jnp.stack(
+                [lt.tree_records.astype(F32),
+                 tree.light_path.astype(F32),
+                 tree.light_depth.astype(F32)], 0,
+            ),
+            ((0, 0), (0, f_pad - n_f)),
+        )
+        tree_depth = int(tree.max_depth)
+    else:
+        treeT = tlT = None
+        t_pad = f_pad = tree_depth = 0
 
     ep = scene.emissive_pack
     n_e = ep.shape[0]
@@ -1468,6 +1670,8 @@ def _build_tables(scene):
     cam_row = cam_row.at[C_AMB_CAM : C_AMB_CAM + 3].set(lt.ambient_camera)
     cam_row = cam_row.at[C_AMB_PMF].set(amb_pmf)
     cam_row = cam_row.at[C_TOTAL_POWER].set(jnp.maximum(total, 1e-20))
+    cam_row = cam_row.at[C_P_INF].set(jnp.sum(w_inf) / jnp.maximum(total, 1e-20))
+    cam_row = cam_row.at[C_SUM_INF].set(sum_inf)
 
     static = dict(
         n_lights=n_lights, l_pad=l_pad, m_pad=m_pad, e_pad=e_pad,
@@ -1476,8 +1680,10 @@ def _build_tables(scene):
         has_dir=bool(lt.dir_dir.shape[0]),
         has_emissive=bool(n_e),
         has_amb=True,  # the ambient branch costs one uniform-sphere mapping
+        has_tree=tree is not None, tree_depth=tree_depth,
+        t_pad=t_pad, f_pad=f_pad,
     )
-    return spT, matT, lightT, epackT, cam_row, static
+    return spT, matT, lightT, epackT, treeT, tlT, cam_row, static
 
 
 def sample_frame_mega(
@@ -1510,7 +1716,7 @@ def sample_frame_mega(
     s0 = padto(jnp.asarray(sample_start, U32))
     valid = padto(jnp.ones((n,), F32), 0.0)
 
-    spT, matT, lightT, epackT, cam_row, tstatic = _build_tables(scene)
+    spT, matT, lightT, epackT, treeT, tlT, cam_row, tstatic = _build_tables(scene)
     seed_row = jnp.asarray(seed, U32).reshape(1)
     width, height = resolution
 
@@ -1538,7 +1744,10 @@ def sample_frame_mega(
         tstatic["n_lights"], tstatic["l_pad"], tstatic["m_pad"], tstatic["e_pad"],
         tstatic["has_point"], tstatic["has_dir"], tstatic["has_amb"],
         tstatic["has_emissive"], tstatic["sp_pad"],
-    ) + hier_static
+    ) + hier_static + (
+        tstatic["has_tree"], tstatic["tree_depth"],
+        tstatic["t_pad"], tstatic["f_pad"],
+    )
 
     ray_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
@@ -1555,6 +1764,9 @@ def sample_frame_mega(
         )
         inputs = (cam_row, seed_row, pid, pxf, pyf, s0, valid,
                   bounds, codes, fat, matT, lightT, epackT)
+        if tstatic["has_tree"]:
+            in_specs = in_specs + [full(treeT), full(tlT)]
+            inputs = inputs + (treeT, tlT)
         scratch_shapes = [
             pltpu.VMEM((2, FAT_ROWS, HCHUNK), F32),  # DMA double buffer
             pltpu.VMEM((WS_ROWS, RAY_BLOCK), F32),  # walk state
@@ -1573,6 +1785,9 @@ def sample_frame_mega(
         )
         inputs = (cam_row, seed_row, pid, pxf, pyf, s0, valid,
                   *prim_rows, spT, matT, lightT, epackT)
+        if tstatic["has_tree"]:
+            in_specs = in_specs + [full(treeT), full(tlT)]
+            inputs = inputs + (treeT, tlT)
         scratch_shapes = []
 
     outs = pl.pallas_call(

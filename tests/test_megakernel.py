@@ -66,6 +66,16 @@ def test_mega_matches_wavefront_material_ball(same_intersector):
     _compare(scene)
 
 
+def test_mega_matches_wavefront_light_tree(same_intersector):
+    """Estevez-Kulla tree scenes (>= LIGHT_TREE_THRESHOLD finite lights)
+    run in-kernel: probabilistic descent + forward-MIS replay must produce
+    the same draws as scene_ops.pick_light/light_pmf (VERDICT r2 #5)."""
+    scene = prepare_scene(scenes.many_lights(96))
+    assert scene.lights.tree is not None
+    assert supported(scene)
+    _compare(scene)
+
+
 def test_mega_unsupported_scenes_fall_back():
     # env-mapped scene: outside the megakernel envelope
     scene = prepare_scene(scenes.hdr_environment(resolution=(16, 8)))
