@@ -317,6 +317,39 @@ def _inv_dir(d):
     return jnp.where(jnp.abs(d) < 1e-12, 1e12 * jnp.where(d < 0, -1.0, 1.0), 1.0 / d)
 
 
+def _f32_table() -> bool:
+    """ECHO_BT_F32TBL=1 restores the exact-f32 HIGHEST-precision bounds
+    table (A/B oracle for the conservative-bf16 production path)."""
+    import os
+
+    return os.environ.get("ECHO_BT_F32TBL", "") == "1"
+
+
+def _bf16_round(x, *, up: bool):
+    """Directed f32 -> bf16 rounding (result returned as f32 values that
+    are exactly representable in bf16): `up=False` rounds toward -inf,
+    `up=True` toward +inf, both saturating at the largest FINITE bf16 so
+    a 0-weight lane of the one-hot matmul never multiplies an infinity
+    (0 * inf = NaN would poison the gather)."""
+    bits = jax.lax.bitcast_convert_type(jnp.asarray(x, jnp.float32), jnp.int32)
+    low = bits & jnp.int32(0xFFFF)
+    trunc = bits & jnp.int32(~0xFFFF)  # toward zero (sign-magnitude)
+    away = trunc + jnp.int32(0x10000)  # away from zero
+    inexact = low != 0
+    neg = bits < 0
+    # round down: negatives move away from zero; round up: positives do
+    grow = inexact & (~neg if up else neg)
+    out = jnp.where(grow, away, trunc)
+    # saturate magnitude to bf16 max (0x7F7F0000 = 3.3895e38)
+    mag = out & jnp.int32(0x7FFFFFFF)
+    capped = jnp.where(
+        mag > jnp.int32(0x7F7F0000),
+        (out & jnp.int32(-0x80000000)) | jnp.int32(0x7F7F0000),
+        out,
+    )
+    return jax.lax.bitcast_convert_type(capped, jnp.float32)
+
+
 def _slab_all(o, d, cb, limit):
     """(N, C) chunk entry distances; +INF where the ray misses the box or
     enters beyond `limit`. RAW entry distance (can be negative when the
@@ -490,6 +523,20 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         [cb_look[:, comp].reshape(s_count, SUP) for comp in range(6)],
         axis=1,
     )  # (S, 6*SUP)
+    if not _f32_table():
+        # conservative bf16 table: lo components round DOWN, hi round UP,
+        # so every box only widens — slab eligibility stays conservative
+        # (never skips a chunk) and the one-hot gather is EXACT in a
+        # plain bf16 MXU matmul (0/1 weights, values already bf16). This
+        # replaces the Precision.HIGHEST f32 matmul (6-pass emulation,
+        # ~40% of refill cost in benchmarks/binned_pieces.py).
+        base_tbl = jnp.concatenate(
+            [
+                _bf16_round(base_tbl[:, : 3 * SUP], up=False),
+                _bf16_round(base_tbl[:, 3 * SUP :], up=True),
+            ],
+            axis=1,
+        ).astype(jnp.bfloat16)
 
     iota_s = jnp.arange(s_count, dtype=jnp.int32)
     iota_sup = jnp.arange(SUP, dtype=jnp.int32)
@@ -533,11 +580,18 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             glob = sup_sel[:, None] * SUP + iota_sup[None, :]  # (n, SUP)
             oh = jnp.where(
                 sup_ok[:, None], iota_s[None] == sup_sel[:, None], False
-            ).astype(jnp.float32)  # (n, S)
+            ).astype(base_tbl.dtype)  # (n, S)
+            # one-hot gather: exact at any precision for the bf16 table
+            # (0/1 weights, values already bf16); the f32 A/B table needs
+            # the HIGHEST (6-pass) product to keep all 24 mantissa bits
             g = jnp.dot(
                 oh, base_tbl,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,  # exact (one-hot gather)
+                precision=(
+                    jax.lax.Precision.HIGHEST
+                    if base_tbl.dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT
+                ),
             )  # (n, 6*SUP): [lo_x | lo_y | lo_z | hi_x | hi_y | hi_z]
             tn_c = tf_c = None
             for a in range(3):
