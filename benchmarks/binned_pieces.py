@@ -65,9 +65,23 @@ def main():
         cb_box[:, 3:6].reshape(s_count, bt.SUP, 3).max(1),
     ], axis=1)
 
+    # Z: null program — the per-dispatch floor through the tunnel; every
+    # other row's true device cost is (row - Z)
+    znull = jax.jit(lambda: o[:8, 0] + 1.0)
+    timeit("Z null program (dispatch floor)", znull)
+
     # A: super-level slab test (N, S)
     slab = jax.jit(lambda: bt._slab_all(o, d, sup_cb, best_t))
     timeit("A _slab_all (N,S)", slab)
+
+    # B0: single-operand row sort of pre-encoded keys (the actual setup
+    # sort shape: sup_ord)
+    lb0 = bt._slab_all(o, d, sup_cb, best_t)
+    keys0 = jax.lax.bitcast_convert_type(jnp.maximum(lb0, 0.0), jnp.int32)
+
+    def rank1():
+        return jax.lax.sort(keys0, dimension=1)
+    timeit("B0 rank supers row-sort (N,S) 1-op", jax.jit(rank1))
 
     # B: rank supers — (N, S) 2-op row sort
     lb = bt._slab_all(o, d, sup_cb, best_t)
@@ -98,6 +112,18 @@ def main():
         return jnp.dot(oh, t_all, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
     timeit("C one-hot bounds fetch (matmul)", jax.jit(onehot))
+
+    # C-bf16: the production fetch since the conservative-bf16 table —
+    # same gather, plain bf16 MXU matmul
+    t_all_bf = t_all.astype(jnp.bfloat16)
+
+    def onehot_bf():
+        targ = sup_sel + s_count * jnp.arange(ksup, dtype=jnp.int32)[None]
+        oh = jnp.zeros((n, ksup * s_count), jnp.bfloat16)
+        for j in range(ksup):
+            oh = oh + (iota_ks[None] == targ[:, j:j+1]).astype(jnp.bfloat16)
+        return jnp.dot(oh, t_all_bf, preferred_element_type=jnp.float32)
+    timeit("C-bf16 one-hot bounds fetch", jax.jit(onehot_bf))
 
     # C2: chunk slab + eligibility + k-sort at (N, KSUP*SUP)
     g = onehot()
