@@ -79,6 +79,14 @@ def main():
     configs = [
         ("prod (fr=2 k=4 ksup=4 ks=32 tk=16 cf=16)", {}),
     ]
+    if os.environ.get("ECHO_BT_SUP"):
+        # keep candidate keys/refill roughly constant as SUP grows
+        sup = bt.SUP
+        ks_scaled = max(1, 64 // sup)
+        configs.append((
+            f"sup{sup} scaled (ksup={ks_scaled} tk={max(4, 256 // sup)})",
+            dict(ksup=ks_scaled, tail_ksup=max(4, 256 // sup)),
+        ))
     if not prod_only:
         configs += [
             ("fat1 (fr=1 k=8)",
@@ -91,6 +99,9 @@ def main():
             ("prod cf=32", dict(compact_fraction=32)),
             ("fat1 k=8 ks=64 tk=16",
              dict(k=8, full_rounds=1, k_straggler=64)),
+            ("no-tail (cf=1 k=4)", dict(compact_fraction=1)),
+            ("no-tail fat (cf=1 k=8 ksup=8)",
+             dict(compact_fraction=1, k=8, ksup=8)),
         ]
     best = None
     for name, kw in configs:
@@ -106,6 +117,20 @@ def main():
           lambda: bt.occlude_binned(
               geom, hier, o_r, d_r, jnp.full((n_rays,), 5.0), ig),
           n_rays)
+
+    if not prod_only and not os.environ.get("ECHO_BT_SUP"):
+        # superchunk-width legs in subprocesses (SUP is an import-time
+        # constant): narrower rank sorts vs wider refills
+        import subprocess
+        for sup in ("32", "64"):
+            print(f"--- SUP={sup} leg ---", flush=True)
+            env = dict(os.environ, ECHO_BT_SUP=sup)
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "prod-only"],
+                env=env, capture_output=True, text=True, timeout=3600)
+            print(p.stdout, flush=True)
+            if p.returncode != 0:
+                print(p.stderr[-2000:], flush=True)
 
     if not prod_only:
         # scaling: does throughput rise with wave width (fixed-cost

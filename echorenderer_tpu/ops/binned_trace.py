@@ -66,7 +66,11 @@ _INF = 3.4e38
 _INT_INF = 2**31 - 1  # key-space sentinel: empty candidate / consumed super
 _PBITS = 8  # prim-in-chunk bits in a result key (HCHUNK == 256)
 ROW = 128  # rays per kernel sub-row
-SUP = 16  # chunks per superchunk (two-level selection)
+# chunks per superchunk (two-level selection). Import-time env knob for
+# perf sweeps (benchmarks/binned_sweep.py runs subprocess legs): larger
+# SUP shrinks the per-ray rank sort (S supers) but widens every refill
+# (ksup*SUP candidate keys per examined super).
+SUP = int(__import__("os").environ.get("ECHO_BT_SUP", "16"))
 KSUP = 4  # superchunks examined per ray per refill (full-width phase)
 TAIL_KSUP = 16  # ... straggler phase (long rays span many supers)
 FULL_ROUNDS = 2  # full-width rounds before straggler compaction
