@@ -313,6 +313,123 @@ def _run_rows(tbl, cols, prim_chunks, has_tri, has_sph, keyed):
 
 
 # ---------------------------------------------------------------------------
+# Fused setup kernel: super slab test + per-ray rank sort
+# ---------------------------------------------------------------------------
+
+
+def _setup_kernel(sup_ref, ox, oy, oz, dx, dy, dz, lim, out_ref, *,
+                  s_count, s_pad, sbits):
+    """One block = 1024 rays. For every super s: slab-test its bounds
+    (sup_ref SMEM, component-major [lo_x(S) lo_y lo_z hi_x hi_y hi_z])
+    against the ray block, encode (entry_t, s) as a monotone key (same
+    formulas as _slab_all + enc), then bitonic-sort the s_pad keys —
+    every compare-exchange is an elementwise i32 min/max between two
+    (8, 128) rows, so the whole sort needs no cross-lane shuffles. The
+    XLA pipeline this replaces (an (N, S) slab fusion feeding a row
+    sort) round-trips ~20 (N, S)-sized intermediates through HBM; here
+    everything lives in registers/VMEM."""
+    z = ox[0]
+
+    def inv(dc):
+        return jnp.where(
+            jnp.abs(dc) < 1e-12,
+            1e12 * jnp.where(dc < 0, -1.0, 1.0),
+            1.0 / dc,
+        )
+
+    o3 = (ox[0], oy[0], oz[0])
+    i3 = (inv(dx[0]), inv(dy[0]), inv(dz[0]))
+    limit = lim[0]
+    keys = []
+    for s in range(s_pad):
+        if s >= s_count:
+            keys.append(jnp.full_like(z, _INT_INF, dtype=jnp.int32))
+            continue
+        tn = tf = None
+        for a in range(3):
+            t0 = (sup_ref[a * s_pad + s] - o3[a]) * i3[a]
+            t1 = (sup_ref[(3 + a) * s_pad + s] - o3[a]) * i3[a]
+            tn_a = jnp.minimum(t0, t1)
+            tf_a = jnp.maximum(t0, t1)
+            tn = tn_a if tn is None else jnp.maximum(tn, tn_a)
+            tf = tf_a if tf is None else jnp.minimum(tf, tf_a)
+        ok = (tn <= tf) & (tf > 0.0) & (tn < limit)
+        tb = jax.lax.bitcast_convert_type(jnp.maximum(tn, 0.0), jnp.int32)
+        key = (tb & ~jnp.int32((1 << sbits) - 1)) | s
+        keys.append(jnp.where(ok, key, _INT_INF))
+
+    # bitonic ascending (keys unique below _INT_INF: id tiebreak in-key)
+    k = 2
+    while k <= s_pad:
+        j = k // 2
+        while j >= 1:
+            for i in range(s_pad):
+                l = i ^ j
+                if l > i:
+                    a, b = keys[i], keys[l]
+                    mn = jnp.minimum(a, b)
+                    mx = jnp.maximum(a, b)
+                    if (i & k) == 0:
+                        keys[i], keys[l] = mn, mx
+                    else:
+                        keys[i], keys[l] = mx, mn
+            j //= 2
+        k *= 2
+
+    for s in range(s_pad):
+        out_ref[s, 0] = keys[s]
+
+
+def _setup_rank(o, d, sup_cb, limit, sbits):
+    """(S_pad, N) per-ray ascending super keys via the fused Pallas
+    kernel; pow2-padded rows are _INT_INF. Falls back to None when the
+    super table is too wide for a VMEM-resident sort."""
+    import os
+
+    s_count = sup_cb.shape[0]
+    s_pad = max(8, 1 << (s_count - 1).bit_length())
+    n = o.shape[0]
+    if s_pad > 512 or n % 1024 or os.environ.get("ECHO_BT_XLA_SETUP"):
+        return None
+    g = n // 1024
+    shape3 = (g, 8, 128)
+    cols = tuple(o[:, a].reshape(shape3) for a in range(3)) + tuple(
+        d[:, a].reshape(shape3) for a in range(3)
+    ) + (jnp.broadcast_to(limit, (n,)).reshape(shape3),)
+    # component-major SMEM row: [lo_x(S_pad) lo_y lo_z hi_x hi_y hi_z];
+    # pads get +INF lo (slab always fails)
+    pad = jnp.full((s_pad - s_count, 6), _INF, jnp.float32)
+    supp = jnp.concatenate([sup_cb, pad], axis=0)  # (s_pad, 6)
+    sup_flat = jnp.concatenate([supp[:, c] for c in range(6)])
+
+    kernel = functools.partial(
+        _setup_kernel, s_count=s_count, s_pad=s_pad, sbits=sbits
+    )
+    ray_spec = pl.BlockSpec(
+        (1, 8, 128), lambda i, sup_: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(g,),
+            in_specs=[ray_spec] * 7,
+            out_specs=pl.BlockSpec(
+                (s_pad, 1, 8, 128),
+                lambda i, sup_: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((s_pad, g, 8, 128), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=_interpret(),
+    )(sup_flat, *cols)
+    return out.reshape(s_pad, n)
+
+
+# ---------------------------------------------------------------------------
 # XLA driver: selection, packing, rounds
 # ---------------------------------------------------------------------------
 
@@ -561,9 +678,12 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
 
     def extract_sup(sup_ord_, pos):
         """sup_ord_[i, pos[i]] for each ray (mask-sum — per-ray element
-        gathers are pathologically slow on TPU); _INT_INF past the end."""
+        gathers are pathologically slow on TPU); _INT_INF past the end.
+        Width-agnostic: the Pallas setup pads rows to pow2 with
+        _INT_INF, the XLA setup keeps exactly s_count columns."""
+        iota_w = jnp.arange(sup_ord_.shape[1], dtype=jnp.int32)
         key = jnp.sum(
-            jnp.where(iota_s[None] == pos[:, None], sup_ord_, 0), axis=1
+            jnp.where(iota_w[None] == pos[:, None], sup_ord_, 0), axis=1
         )
         return jnp.where(pos < s_count, key, _INT_INF)
 
@@ -666,12 +786,18 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             rounds=st["rounds"] + 1,
         )
 
-    # ---- setup: per-ray super order, ONE single-operand sort
-    sup_tn = _slab_all(o, d, sup_cb, best_t0)  # (N, S)
-    sup_ord = jax.lax.sort(
-        enc(sup_tn, jnp.broadcast_to(iota_s[None], sup_tn.shape), sbits),
-        dimension=1,
-    )
+    # ---- setup: per-ray super order — the fused Pallas slab+rank kernel
+    # when it applies (pow2 super pad <= 512, 1024-multiple rays), else
+    # an (N, S) slab fusion + ONE single-operand row sort
+    ord_t = _setup_rank(o, d, sup_cb, best_t0, sbits)
+    if ord_t is not None:
+        sup_ord = ord_t.T  # (n, s_pad); pad columns hold _INT_INF
+    else:
+        sup_tn = _slab_all(o, d, sup_cb, best_t0)  # (N, S)
+        sup_ord = jax.lax.sort(
+            enc(sup_tn, jnp.broadcast_to(iota_s[None], sup_tn.shape), sbits),
+            dimension=1,
+        )
     # phase shape knobs: call-site overrides for perf sweeps; module
     # constants are the tuned production defaults
     ksup = KSUP if ksup is None else ksup

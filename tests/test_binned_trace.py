@@ -108,3 +108,50 @@ def test_binned_multi_super_level():
     np.testing.assert_array_equal(np.asarray(h.prim), np.asarray(r.prim))
     both = np.asarray(h.prim) >= 0
     np.testing.assert_allclose(np.asarray(h.t)[both], np.asarray(r.t)[both], rtol=1e-4)
+
+
+def test_setup_rank_kernel_matches_xla_sort():
+    """The fused Pallas setup (slab + in-kernel bitonic rank,
+    bt._setup_rank) must produce exactly the XLA reference pipeline's
+    keys: _slab_all -> enc -> row sort, padded with _INT_INF. Keys are
+    unique (super-id tiebreak in the low bits), so the orders must be
+    bit-identical."""
+    import jax
+
+    geom = _geometry(20000, 500, seed=31)
+    soa = _hier(geom, seed=32)
+    o, d = _rays(1024, seed=7)
+    n = 1024
+    cb = soa.chunk_bounds
+    c = cb.shape[0]
+    s_count = -(-c // bt.SUP)
+    c_pad = s_count * bt.SUP
+    sbits = max(1, (s_count - 1).bit_length())
+    cb_box = jnp.concatenate([
+        cb,
+        jnp.tile(jnp.asarray([[bt._INF] * 3 + [-bt._INF] * 3], jnp.float32),
+                 (c_pad - c, 1)),
+    ], axis=0)
+    sup_cb = jnp.concatenate([
+        cb_box[:, 0:3].reshape(s_count, bt.SUP, 3).min(1),
+        cb_box[:, 3:6].reshape(s_count, bt.SUP, 3).max(1),
+    ], axis=1)
+    limit = jnp.full((n,), bt._INF)
+
+    ord_t = bt._setup_rank(o, d, sup_cb, limit, sbits)
+    assert ord_t is not None
+
+    tn = bt._slab_all(o, d, sup_cb, limit)
+    tb = jax.lax.bitcast_convert_type(jnp.maximum(tn, 0.0), jnp.int32)
+    iota = jnp.broadcast_to(
+        jnp.arange(s_count, dtype=jnp.int32)[None], tn.shape)
+    keys = jnp.where(
+        tn < bt._INF,
+        (tb & ~jnp.int32((1 << sbits) - 1)) | iota,
+        bt._INT_INF,
+    )
+    ref = np.asarray(jax.lax.sort(keys, dimension=1))
+
+    got = np.asarray(ord_t.T)
+    np.testing.assert_array_equal(got[:, :s_count], ref)
+    assert np.all(got[:, s_count:] == bt._INT_INF)
