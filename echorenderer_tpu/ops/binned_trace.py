@@ -60,7 +60,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .intersect import INF, Hit
 from .pallas_hier import HCHUNK, HierSoA, _sorted_ignore
-from .pallas_intersect import _chunk_hits, _interpret
+from .pallas_intersect import _EPS, _chunk_hits, _interpret
 
 _INF = 3.4e38
 _INT_INF = 2**31 - 1  # key-space sentinel: empty candidate / consumed super
@@ -554,6 +554,68 @@ def _pack_and_intersect(sel_c, o, d, best_t, ign_f, prim_chunks,
     return tuple(a[:m].reshape(kk, n) for a in back[1:5])
 
 
+def _prim_hits_rows(rows, pid_f, o, d, ignore_f, has_tri, has_sph):
+    """Re-evaluate ONE prim per ray from its 10 gathered pack floats —
+    the same formulas as _chunk_hits (Möller-Trumbore / sphere quadratic,
+    findFar for ignored spheres), on (n,) vectors in XLA instead of
+    (prims, rays) blocks in Mosaic. Used by the exact-recovery step: the
+    winning key already names the prim, so recovery is a row gather plus
+    this, not a chunk-wide kernel pass. Returns (t, ok, u, v)."""
+    ax, ay, az, bx, by, bz, cx, cy, cz, sph = rows
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    ignored = pid_f == ignore_f
+
+    t_tri = u = v = None
+    if has_tri:
+        px = dy * cz - dz * cy
+        py = dz * cx - dx * cz
+        pz = dx * cy - dy * cx
+        det = bx * px + by * py + bz * pz
+        inv = jnp.where(
+            jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0.0, 1.0, det), 0.0
+        )
+        sx = ox - ax
+        sy = oy - ay
+        sz = oz - az
+        u = (sx * px + sy * py + sz * pz) * inv
+        qx = sy * bz - sz * by
+        qy = sz * bx - sx * bz
+        qz = sx * by - sy * bx
+        v = (dx * qx + dy * qy + dz * qz) * inv
+        t_tri = (cx * qx + cy * qy + cz * qz) * inv
+        tri_ok = (
+            (jnp.abs(det) > 1e-12)
+            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t_tri > _EPS) & ~ignored
+        )
+    if has_sph:
+        fx = ox - ax
+        fy = oy - ay
+        fz = oz - az
+        bq = fx * dx + fy * dy + fz * dz
+        cq = fx * fx + fy * fy + fz * fz - bx * bx
+        disc = bq * bq - cq
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_near = -bq - sq
+        t_far = -bq + sq
+        t_sph = jnp.where(ignored, t_far, jnp.where(t_near > _EPS, t_near, t_far))
+        sph_ok = (disc >= 0.0) & (t_sph > _EPS)
+
+    if has_tri and has_sph:
+        is_sph = sph > 0.5
+        t = jnp.where(is_sph, t_sph, t_tri)
+        ok = jnp.where(is_sph, sph_ok, tri_ok)
+    elif has_tri:
+        t, ok = t_tri, tri_ok
+    else:
+        t, ok = t_sph, sph_ok
+    if u is None:
+        u = jnp.zeros_like(t)
+        v = jnp.zeros_like(t)
+    return t, ok, u, v
+
+
 def _key_ub(key):
     """Upper bound of a packed key's truncation band: the smallest f32
     provably >= the exact t the key was packed from (truncation rounds
@@ -843,7 +905,18 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     # ---- straggler compaction: ONE fat phase. Gather the first nc
     # still-pending rays into a dense sub-problem with escalated pop and
     # refill widths (stragglers span many supers — workload p99: 53
-    # eligible chunks), scatter back, repeat while any ray pends.
+    # eligible chunks) and run it to completion; repeat while any ray
+    # pends. The sub-problem RESTARTS each ray: a fresh Pallas setup on
+    # the gathered rays re-ranks their supers under their CURRENT best_t
+    # cap (far tighter than the launch cap once a hit exists), which is
+    # cheaper than gathering the full phase's (nc, S) super order and
+    # (nc, w) candidate buffer (two ~4.5 ms row gathers at 512k rays)
+    # and scattering them back. The restart may re-admit chunks the full
+    # phase already intersected; the integer-min merge is idempotent, so
+    # the only cost is a bounded re-intersection (≤ full_rounds·k pairs
+    # per straggler, once). A `retired` flag (not the stale candidate
+    # buffer) records completion — processed rays' buffers are left
+    # stale on purpose.
     if nc < n:
         ks = k_straggler
         ksup_t = tail_ksup
@@ -851,15 +924,9 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         m_pad_c = -(-(nc * ks) // 1024) * 1024
         iota_n = jnp.arange(n, dtype=jnp.int32)
         iota_nc = jnp.arange(nc, dtype=jnp.int32)
-        # widen the candidate buffer for the whole tail phase (tail
-        # refills add ksup_t*SUP keys; pop/keep arithmetic needs w_tail)
-        st["cand"] = jnp.concatenate(
-            [st["cand"], jnp.full((n, w_tail - w_full), _INT_INF, jnp.int32)],
-            axis=1,
-        )
 
         def outer(stf):
-            pend = pend_mask(stf)
+            pend = pend_mask(stf) & ~stf["retired"]
             cnt = jnp.cumsum(pend.astype(jnp.int32))
             total = cnt[-1]
             pos = jnp.where(pend & (cnt <= nc), cnt - 1, nc)
@@ -867,15 +934,25 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             live = iota_nc < total  # duplicate-of-ray-0 padding lanes
 
             o_s, d_s, ign_s = o[idxs], d[idxs], ign_f[idxs]
-            sup_ord_s = sup_ord[idxs]
+            # dead padding lanes get best_t 0: nothing is ever eligible
+            best_s = jnp.where(live, stf["best_t"][idxs], 0.0)
+            ord_s = _setup_rank(o_s, d_s, sup_cb, best_s, sbits)
+            if ord_s is not None:
+                sup_ord_s = ord_s.T
+            else:
+                tn_s = _slab_all(o_s, d_s, sup_cb, best_s)
+                sup_ord_s = jax.lax.sort(
+                    enc(tn_s, jnp.broadcast_to(iota_s[None], tn_s.shape),
+                        sbits),
+                    dimension=1,
+                )
             sub = dict(
-                # dead padding lanes get best_t 0: nothing is ever eligible
-                best_t=jnp.where(live, stf["best_t"][idxs], 0.0),
+                best_t=best_s,
                 best_key=stf["best_key"][idxs],
                 best_chunk=stf["best_chunk"][idxs],
-                cand=stf["cand"][idxs],
-                cursor=stf["cursor"][idxs],
-                next_sup=stf["next_sup"][idxs],
+                cand=jnp.full((nc, w_tail), _INT_INF, jnp.int32),
+                cursor=jnp.zeros((nc,), jnp.int32),
+                next_sup=sup_ord_s[:, 0],
                 rounds=jnp.zeros((), jnp.int32),
             )
             done = jax.lax.while_loop(
@@ -889,48 +966,58 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
 
             tgt = jnp.where(live, idxs, n)  # sentinel rows dropped
             out = dict(stf)
-            for f in ("best_t", "best_key", "best_chunk", "cand",
-                      "cursor", "next_sup"):
+            for f in ("best_t", "best_key", "best_chunk"):
                 out[f] = stf[f].at[tgt].set(done[f], mode="drop")
+            out["retired"] = stf["retired"].at[tgt].set(True, mode="drop")
             out["outer"] = stf["outer"] + 1
             return out
 
         outer_cap = (n // nc + 2) * 4
         st = jax.lax.while_loop(
-            lambda s: (s["outer"] < outer_cap) & pending(s),
+            lambda s: (s["outer"] < outer_cap)
+            & jnp.any(pend_mask(s) & ~s["retired"]),
             outer,
-            {**st, "outer": jnp.zeros((), jnp.int32)},
+            {
+                **st,
+                "outer": jnp.zeros((), jnp.int32),
+                "retired": jnp.zeros((n,), bool),
+            },
         )
         st.pop("outer")
+        st.pop("retired")
 
     if occlude:
         return (best_t0 > 0.0) & (st["best_t"] <= 0.0)
 
-    # ---- exact recovery: ONE re-intersection of each ray's winning chunk
-    # gives exact (t, prim, u, v) under the same findFar/ignore semantics
-    # (the rounds only tracked the truncated key). The cap is widened by
-    # one EXTRA band beyond _key_ub: the keyed kernel and this pass are
-    # separately compiled evaluations of the same f32 formula, so their t
-    # can differ by a few ulps — with the tight cap, an exact t landing ON
-    # the band's upper bound fails the strict `t < tmax` test and the hit
-    # is lost (found as a 1-in-4096-rays miss on CPU). The widening stays
-    # inside the documented one-band tie tolerance.
+    # ---- exact recovery: the winning key NAMES the winner — chunk in
+    # best_chunk, prim-in-chunk in the key's low _PBITS. Gather that one
+    # prim's 10 pack floats and re-evaluate the same intersection formula
+    # per ray (profiled r3: the previous chunk-wide recovery pass cost a
+    # 10-op pack sort + a kernel pass + an unpack, ~15 ms at 131k rays;
+    # this is 10 1-D gathers + a fusion). Cross-compilation ulps (Mosaic
+    # keyed kernel vs this XLA evaluation) can flip a borderline validity
+    # test, so a winner whose re-evaluation misses still reports the hit
+    # at the key's band lower bound (within 2^-16 relative of exact t).
     bk = st["best_key"]
-    rec_cap = jnp.where(
-        bk == _INT_INF,
-        st["best_t"],
-        jax.lax.bitcast_convert_type(
-            (bk & jnp.int32(-(1 << _PBITS))) + jnp.int32(2 << _PBITS),
-            jnp.float32,
-        ),
+    found = bk != _INT_INF
+    win = jnp.where(found, st["best_chunk"], 0)
+    j_in = bk & jnp.int32((1 << _PBITS) - 1)
+    g = win * HCHUNK + jnp.where(found, j_in, 0)  # sorted global prim id
+    qrows = prim_chunks.shape[1]  # 16 padded quantity rows per chunk
+    flat = prim_chunks.reshape(-1)
+    base = win * (qrows * HCHUNK) + jnp.where(found, j_in, 0)
+    rows = tuple(flat[base + q * HCHUNK] for q in range(10))
+    t2, ok2, u2, v2 = _prim_hits_rows(
+        rows, g.astype(jnp.float32), o, d, ign_f, has_tri, has_sph
     )
-    sel = st["best_chunk"][None]  # (1, n); -1 where no hit
-    m_pad_f = -(-n // 1024) * 1024
-    t4, p4, u4, v4 = _pack_and_intersect(
-        sel, o, d, rec_cap, ign_f, prim_chunks,
-        c, has_tri, has_sph, m_pad_f, keyed=False,
+    band_lb = jax.lax.bitcast_convert_type(
+        bk & jnp.int32(-(1 << _PBITS)), jnp.float32
     )
-    return t4[0], p4[0], u4[0], v4[0]
+    t4 = jnp.where(found, jnp.where(ok2, t2, band_lb), _INF)
+    p4 = jnp.where(found, g.astype(jnp.float32), -1.0)
+    u4 = jnp.where(found & ok2, u2, 0.0)
+    v4 = jnp.where(found & ok2, v2, 0.0)
+    return t4, p4, u4, v4
 
 
 # ---------------------------------------------------------------------------
