@@ -497,28 +497,52 @@ def _pack_and_intersect(sel_c, o, d, best_t, ign_f, prim_chunks,
     """Pack this round's (ray, chunk) pairs into chunk-sorted segment rows,
     run the row kernel, and return per-(k, ray) results: the packed i32
     key (keyed, _INT_INF where nothing found) or exact (t, prim, u, v)."""
+    import os
+
     kk, n = sel_c.shape
     m = kk * n
     pc = sel_c.reshape(-1)  # k-major: pair k*n + i = selection k of ray i
     valid = pc >= 0
     key = jnp.where(valid, pc, n_chunks).astype(jnp.int32)
-    rep = lambda a: jnp.tile(a, (kk,))
-    fields = (
-        rep(o[:, 0]), rep(o[:, 1]), rep(o[:, 2]),
-        rep(d[:, 0]), rep(d[:, 1]), rep(d[:, 2]),
-        # invalid pairs carry tmax 0 -> their rows/lanes are dead
-        jnp.where(valid, rep(best_t), 0.0),
-        rep(ign_f),
-    )
     pad = m_pad - m
     key = jnp.concatenate([key, jnp.full((pad,), n_chunks, jnp.int32)])
-    fields = tuple(
-        jnp.concatenate([f, jnp.zeros((pad,), f.dtype)]) for f in fields
-    )
     q = jnp.arange(m_pad, dtype=jnp.int32)  # padding keeps q >= m
 
-    srt = jax.lax.sort((key,) + fields + (q,), num_keys=1)
-    key_s, fs, q_s = srt[0], srt[1:9], srt[9]
+    if os.environ.get("ECHO_BT_PACK10"):
+        # A/B oracle: carry all 8 ray fields through the sort (10 operands)
+        rep = lambda a: jnp.tile(a, (kk,))
+        fields = (
+            rep(o[:, 0]), rep(o[:, 1]), rep(o[:, 2]),
+            rep(d[:, 0]), rep(d[:, 1]), rep(d[:, 2]),
+            # invalid pairs carry tmax 0 -> their rows/lanes are dead
+            jnp.where(valid, rep(best_t), 0.0),
+            rep(ign_f),
+        )
+        fields = tuple(
+            jnp.concatenate([f, jnp.zeros((pad,), f.dtype)]) for f in fields
+        )
+        srt = jax.lax.sort((key,) + fields + (q,), num_keys=1)
+        key_s, fs, q_s = srt[0], srt[1:9], srt[9]
+    else:
+        # production: sort ONLY (chunk key, pair id) and fetch the 8 ray
+        # fields afterwards as ONE 8-float row gather from a per-ray record
+        # table — the sort moves 8 B/pair instead of 40 B/pair across its
+        # O(log m) passes (the 10-op sort's extra operands dominated round
+        # cost at multi-M pair counts). tmax is re-masked from the sorted
+        # key: invalid pairs and padding both carry key == n_chunks.
+        srt = jax.lax.sort((key, q), num_keys=1)
+        key_s, q_s = srt
+        rec = jnp.stack(
+            [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+             best_t, ign_f], axis=1,
+        )  # (n, 8) per-ray record rows
+        ray_id = q_s % n  # pairs are k-major; padding maps to SOME ray
+        g = jnp.take(rec, ray_id, axis=0)  # (m_pad, 8) row gather
+        live_pair = key_s < n_chunks
+        fs = tuple(g[:, j] for j in range(6)) + (
+            jnp.where(live_pair, g[:, 6], 0.0),  # dead pairs: tmax 0
+            g[:, 7],
+        )
 
     # segment structure: one segment per distinct chunk value in the sorted
     # key sequence; rows are plain 128-lane slices of the sorted pairs
@@ -814,11 +838,43 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         new_keys, cursor, next_sup = refill(
             st, o_, d_, do_refill, ksup, sup_ord_
         )
-        srt = jax.lax.sort(
-            jnp.concatenate([cand, new_keys], axis=1), dimension=1
-        )  # single-operand i32 sort; nearest chunks first
-        pop = srt[:, :k_]
-        new_cand = srt[:, k_ : k_ + w_]
+        import os
+
+        if os.environ.get("ECHO_BT_SORTPOP"):
+            # A/B oracle: full (w_ + R)-wide row sort, positional pop
+            srt = jax.lax.sort(
+                jnp.concatenate([cand, new_keys], axis=1), dimension=1
+            )  # single-operand i32 sort; nearest chunks first
+            pop = srt[:, :k_]
+            new_cand = srt[:, k_ : k_ + w_]
+        else:
+            # production: sortless pop. The buffer is UNSORTED — pop-k is
+            # k reduce-min+mask passes and the refill merge exploits the
+            # trigger invariant (a refilling ray has < k_ live entries):
+            # extract its k_-1 smallest and prepend them to the fresh
+            # block, which is exactly width w_ again. ~6x fewer VPU ops
+            # than the (w_+R)-wide bitonic row sort it replaces; the
+            # popped/kept multisets are identical (keys unique below
+            # _INT_INF: chunk id in the low bits, each chunk belongs to
+            # one super and supers are examined once).
+            ext = []
+            tmp = cand
+            for _ in range(k_ - 1):
+                mn = jnp.min(tmp, axis=1)
+                ext.append(mn)
+                tmp = jnp.where(tmp == mn[:, None], _INT_INF, tmp)
+            merged = (
+                jnp.concatenate([jnp.stack(ext, 1), new_keys], axis=1)
+                if ext else new_keys
+            )  # (n, w_)
+            cand2 = jnp.where(do_refill[:, None], merged, cand)
+            pops = []
+            for _ in range(k_):
+                mn = jnp.min(cand2, axis=1)
+                pops.append(mn)
+                cand2 = jnp.where(cand2 == mn[:, None], _INT_INF, cand2)
+            pop = jnp.stack(pops, 1)  # ascending, _INT_INF-padded
+            new_cand = cand2
         valid = pop != _INT_INF  # purged => every live key beats best_t
         sel_c = jnp.where(valid, pop & cmask, -1).T  # (k, n)
 
