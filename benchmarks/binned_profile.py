@@ -23,7 +23,7 @@ def sync(x):
 
 
 def main():
-    n_rays = 2 ** 17
+    n_rays = 2 ** int(os.environ.get('ECHO_BT_NLOG2', '17'))
     rs = np.random.RandomState(1)
     k = 23
     geom, t = make_mesh(k, 31)

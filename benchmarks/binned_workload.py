@@ -22,7 +22,7 @@ from echorenderer_tpu.aggregation.bvh import build_bvh, geometry_bounds
 
 
 def main():
-    n = 2 ** 17
+    n = 2 ** (int(sys.argv[1]) if len(sys.argv) > 1 else 17)
     rs = np.random.RandomState(1)
     geom, t = make_mesh(23, 31)
     bmin, bmax = geometry_bounds({k: np.asarray(v) for k, v in geom._asdict().items()})

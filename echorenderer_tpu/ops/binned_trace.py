@@ -27,12 +27,17 @@ ray culls independently and the *intersection* work is what gets batched:
    are recovered ONCE at the end by re-intersecting each ray's winning
    chunk (profiled r3: the 5-op unpack + 4-reduction epilogue were ~40%
    of a round).
-5. Straggler compaction: after FULL_ROUNDS full-width rounds the
-   still-pending rays (typically a few %) are gathered into an
-   n/COMPACT_FRACTION-wide sub-problem with escalated pop/refill widths
-   (TAIL_K / TAIL_KSUP) that loops to completion — ONE fat phase instead
-   of many small rounds (profiled r3: two cascaded compact phases spent
-   80% of the trace in fixed per-round costs).
+5. Straggler cascade: after FULL_ROUNDS full-width rounds the
+   still-pending rays are gathered into progressively narrower
+   sub-problems with escalated pop/refill widths; the last level loops
+   to completion. The cascade shape is scale-dependent (profiled r3/r4):
+   below ~256k rays every phase is dominated by the ~6 ms XLA-sort
+   floor, so ONE fat tail wins; at 1M+ rays each round's sort/gather/
+   kernel cost is WIDTH-bound (a dead pair still rides the sorts), so
+   the r3 single fat tail (width n/16, k=32 = 2M-pair rounds repeated
+   while ANY ray pends) was ~290 ms of the 462 ms trace — an
+   intermediate n/4-wide bounded stage plus a narrow final loop cuts
+   the width 8-64x while kernel work tracks live pairs only.
 
 Conservative-rounding invariants: every packed key truncates t's low
 mantissa bits to hold an id, which rounds t DOWN, so candidate ordering
@@ -74,7 +79,25 @@ SUP = int(__import__("os").environ.get("ECHO_BT_SUP", "16"))
 KSUP = 4  # superchunks examined per ray per refill (full-width phase)
 TAIL_KSUP = 16  # ... straggler phase (long rays span many supers)
 FULL_ROUNDS = 2  # full-width rounds before straggler compaction
-COMPACT_FRACTION = 16  # compact phase width = n / this
+COMPACT_FRACTION = 16  # small-n: single tail width = n / this
+# large-n cascade (n >= CASCADE_MIN): one bounded mid stage at width
+# n/MID_FRACTION popping MID_K, then the final loop at width
+# n/FINAL_FRACTION (r4 profile: the r3 fat tail alone was ~290 ms of a
+# 462 ms 1M-ray trace)
+CASCADE_MIN = 2 ** 18
+MID_FRACTION = 8  # r4 stage profile: 8.9% of random rays pend after fr=2
+MID_K = 16
+MID_KSUP = 8
+MID_ROUNDS = 1
+FINAL_FRACTION = 64
+# nearest supers stored per ray in the FULL-width phase order (capped:
+# see extract_sups; compaction restarts store the full order). Workload
+# r4: p90 eligible chunks 15 => examined supers rarely exceed ~16.
+ORD_CAP = 32
+# A/B oracles, read ONCE at import (reading os.environ inside a traced
+# body bakes the first value into the jit cache — ADVICE r3 #1)
+_ENV_SORTPOP = bool(__import__("os").environ.get("ECHO_BT_SORTPOP"))
+_ENV_PACK10 = bool(__import__("os").environ.get("ECHO_BT_PACK10"))
 
 
 # ---------------------------------------------------------------------------
@@ -376,18 +399,25 @@ def _setup_kernel(sup_ref, ox, oy, oz, dx, dy, dz, lim, out_ref, *,
             j //= 2
         k *= 2
 
-    for s in range(s_pad):
+    cap = min(len(keys), out_ref.shape[0])
+    for s in range(cap):
         out_ref[s, 0] = keys[s]
 
 
-def _setup_rank(o, d, sup_cb, limit, sbits):
-    """(S_pad, N) per-ray ascending super keys via the fused Pallas
-    kernel; pow2-padded rows are _INT_INF. Falls back to None when the
-    super table is too wide for a VMEM-resident sort."""
+def _setup_rank(o, d, sup_cb, limit, sbits, cap=None):
+    """(min(S_pad, cap), N) per-ray ascending super keys via the fused
+    Pallas kernel; pow2-padded rows are _INT_INF. `cap` keeps only each
+    ray's `cap` NEAREST supers (the bitonic still runs full-width in
+    VMEM; only the HBM write shrinks — profiled r4: the (256, 1M) i32
+    order was 1 GB, read whole by every refill). Callers using a capped
+    order MUST handle cursor overflow conservatively (see extract_sup).
+    Falls back to None when the super table is too wide for a
+    VMEM-resident sort."""
     import os
 
     s_count = sup_cb.shape[0]
     s_pad = max(8, 1 << (s_count - 1).bit_length())
+    s_out = s_pad if cap is None else min(s_pad, cap)
     n = o.shape[0]
     if s_pad > 512 or n % 1024 or os.environ.get("ECHO_BT_XLA_SETUP"):
         return None
@@ -415,18 +445,18 @@ def _setup_rank(o, d, sup_cb, limit, sbits):
             grid=(g,),
             in_specs=[ray_spec] * 7,
             out_specs=pl.BlockSpec(
-                (s_pad, 1, 8, 128),
+                (s_out, 1, 8, 128),
                 lambda i, sup_: (0, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((s_pad, g, 8, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((s_out, g, 8, 128), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
         interpret=_interpret(),
     )(sup_flat, *cols)
-    return out.reshape(s_pad, n)
+    return out.reshape(s_out, n)
 
 
 # ---------------------------------------------------------------------------
@@ -497,8 +527,6 @@ def _pack_and_intersect(sel_c, o, d, best_t, ign_f, prim_chunks,
     """Pack this round's (ray, chunk) pairs into chunk-sorted segment rows,
     run the row kernel, and return per-(k, ray) results: the packed i32
     key (keyed, _INT_INF where nothing found) or exact (t, prim, u, v)."""
-    import os
-
     kk, n = sel_c.shape
     m = kk * n
     pc = sel_c.reshape(-1)  # k-major: pair k*n + i = selection k of ray i
@@ -508,7 +536,7 @@ def _pack_and_intersect(sel_c, o, d, best_t, ign_f, prim_chunks,
     key = jnp.concatenate([key, jnp.full((pad,), n_chunks, jnp.int32)])
     q = jnp.arange(m_pad, dtype=jnp.int32)  # padding keeps q >= m
 
-    if os.environ.get("ECHO_BT_PACK10"):
+    if _ENV_PACK10:
         # A/B oracle: carry all 8 ray fields through the sort (10 operands)
         rep = lambda a: jnp.tile(a, (kk,))
         fields = (
@@ -541,7 +569,10 @@ def _pack_and_intersect(sel_c, o, d, best_t, ign_f, prim_chunks,
         live_pair = key_s < n_chunks
         fs = tuple(g[:, j] for j in range(6)) + (
             jnp.where(live_pair, g[:, 6], 0.0),  # dead pairs: tmax 0
-            g[:, 7],
+            # dead pairs also get a never-matching ignore so padding lanes
+            # stay inert even if the kernel grows a use of ign outside the
+            # t<tmax gate (ADVICE r3 #3)
+            jnp.where(live_pair, g[:, 7], -2.0),
         )
 
     # segment structure: one segment per distinct chunk value in the sorted
@@ -654,12 +685,12 @@ def _key_ub(key):
     jax.jit,
     static_argnames=("has_tri", "has_sph", "k", "k_straggler", "occlude",
                      "max_rounds", "full_rounds", "compact_fraction",
-                     "ksup", "tail_ksup"),
+                     "ksup", "tail_ksup", "stop_after"),
 )
 def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
                        has_tri, has_sph, k, k_straggler, occlude, max_rounds,
                        full_rounds=None, compact_fraction=None, ksup=None,
-                       tail_ksup=None):
+                       tail_ksup=None, stop_after=None):
     """Candidate-buffer traversal (v4). Each ray carries:
 
       * sup_ord (N, S): its supers sorted by box-entry distance, packed as
@@ -762,16 +793,39 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         )
         return jnp.where(key == _INT_INF, _INF, f)
 
-    def extract_sup(sup_ord_, pos):
-        """sup_ord_[i, pos[i]] for each ray (mask-sum — per-ray element
-        gathers are pathologically slow on TPU); _INT_INF past the end.
-        Width-agnostic: the Pallas setup pads rows to pow2 with
-        _INT_INF, the XLA setup keeps exactly s_count columns."""
-        iota_w = jnp.arange(sup_ord_.shape[1], dtype=jnp.int32)
-        key = jnp.sum(
-            jnp.where(iota_w[None] == pos[:, None], sup_ord_, 0), axis=1
-        )
-        return jnp.where(pos < s_count, key, _INT_INF)
+    def extract_sups(sup_ord_, pos, count):
+        """Keys at positions pos..pos+count-1 of each ray's stored order
+        (mask-sum over ONE fused read — per-ray element gathers are
+        pathologically slow on TPU, and the r3 per-position extracts each
+        re-read the whole (n, W) order from HBM). Returns count
+        (key, overflow) pairs.
+
+        CAPPED orders (W < s_count, the full-width phase): a position at
+        or past W returns the LAST stored key's value with overflow=True —
+        its t is a conservative LOWER bound for every unexamined super
+        (the order is ascending), so the pending gate keeps the ray alive
+        and it flows to a compaction stage whose restart builds an
+        uncapped order; admission is blocked (overflow) so no chunk is
+        ever enqueued twice."""
+        w_ord = sup_ord_.shape[1]
+        capped = w_ord < s_count
+        iota_w = jnp.arange(w_ord, dtype=jnp.int32)
+        rel = iota_w[None] - pos[:, None]  # (n, W)
+        outs = [
+            jnp.sum(jnp.where(rel == j, sup_ord_, 0), axis=1)
+            for j in range(count)
+        ]
+        res = []
+        for j, kj in enumerate(outs):
+            pj = pos + j
+            if capped:
+                last = sup_ord_[:, w_ord - 1]
+                ovf = pj >= w_ord
+                res.append((jnp.where(ovf, last, kj), ovf))
+            else:
+                kj = jnp.where(pj < w_ord, kj, _INT_INF)
+                res.append((kj, jnp.zeros(pj.shape, bool)))
+        return res
 
     def refill(st, o_, d_, do_refill, ksup, sup_ord_):
         """Examine each refilling ray's next `ksup` supers: slab-test all
@@ -781,11 +835,14 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         one-hot matmul per examined super fetches its chunk bounds."""
         cursor, best_t = st["cursor"], st["best_t"]
         inv = _inv_dir(d_)
+        # ksup refill positions + the post-advance next_sup peek, all from
+        # one fused read of the order
+        ext = extract_sups(sup_ord_, cursor, ksup + 1)
         keys = []
         for j in range(ksup):
-            sup_key = extract_sup(sup_ord_, cursor + j)  # (n,)
+            sup_key, ovf = ext[j]
             sup_t = dec_t(sup_key, sbits)
-            sup_ok = do_refill & (sup_key != _INT_INF) & (sup_t < best_t)
+            sup_ok = do_refill & ~ovf & (sup_key != _INT_INF) & (sup_t < best_t)
             sup_sel = jnp.where(sup_ok, sup_key & smask, 0)  # id (0 unused)
             glob = sup_sel[:, None] * SUP + iota_sup[None, :]  # (n, SUP)
             oh = jnp.where(
@@ -816,12 +873,20 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
                 & sup_ok[:, None]
             )
             keys.append(enc(jnp.where(ok, tn_c, _INF), glob, cbits))
+        # INVARIANT (the sortless pop depends on it): every live key in a
+        # ray's buffer is UNIQUE — the chunk id rides the low bits, each
+        # chunk belongs to exactly one super, and the monotone cursor
+        # examines each super at most once per phase, so a chunk can be
+        # enqueued at most once. Re-admitting a chunk mid-phase would make
+        # the pop's equality masking drop candidates silently (ADVICE r3
+        # #2); phase restarts (the compaction stages) are safe because
+        # they reset the whole buffer and merge by idempotent integer min.
         new_keys = jnp.concatenate(keys, axis=1)  # (n, ksup*SUP)
         adv = jnp.where(do_refill, jnp.int32(ksup), 0)
         new_cursor = cursor + adv
-        next_sup = jnp.where(
-            do_refill, extract_sup(sup_ord_, new_cursor), st["next_sup"]
-        )
+        if sup_ord_.shape[1] < s_count:  # capped: cursor parks at the cap
+            new_cursor = jnp.minimum(new_cursor, sup_ord_.shape[1])
+        next_sup = jnp.where(do_refill, ext[ksup][0], st["next_sup"])
         return new_keys, new_cursor, next_sup
 
     def round_body(st, o_, d_, ign_f_, m_pad_, k_, w_, ksup, sup_ord_):
@@ -838,9 +903,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         new_keys, cursor, next_sup = refill(
             st, o_, d_, do_refill, ksup, sup_ord_
         )
-        import os
-
-        if os.environ.get("ECHO_BT_SORTPOP"):
+        if _ENV_SORTPOP:
             # A/B oracle: full (w_ + R)-wide row sort, positional pop
             srt = jax.lax.sort(
                 jnp.concatenate([cand, new_keys], axis=1), dimension=1
@@ -904,18 +967,6 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             rounds=st["rounds"] + 1,
         )
 
-    # ---- setup: per-ray super order — the fused Pallas slab+rank kernel
-    # when it applies (pow2 super pad <= 512, 1024-multiple rays), else
-    # an (N, S) slab fusion + ONE single-operand row sort
-    ord_t = _setup_rank(o, d, sup_cb, best_t0, sbits)
-    if ord_t is not None:
-        sup_ord = ord_t.T  # (n, s_pad); pad columns hold _INT_INF
-    else:
-        sup_tn = _slab_all(o, d, sup_cb, best_t0)  # (N, S)
-        sup_ord = jax.lax.sort(
-            enc(sup_tn, jnp.broadcast_to(iota_s[None], sup_tn.shape), sbits),
-            dimension=1,
-        )
     # phase shape knobs: call-site overrides for perf sweeps; module
     # constants are the tuned production defaults
     ksup = KSUP if ksup is None else ksup
@@ -923,6 +974,27 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     compact_fraction = (
         COMPACT_FRACTION if compact_fraction is None else compact_fraction
     )
+    nc = min(n, max(1024, (-(-(n // compact_fraction) // 1024)) * 1024))
+
+    # ---- setup: per-ray super order — the fused Pallas slab+rank kernel
+    # when it applies (pow2 super pad <= 512, 1024-multiple rays), else
+    # an (N, S) slab fusion + ONE single-operand row sort. When a
+    # compaction stage exists (nc < n) the full-width phase stores only
+    # each ray's ORD_CAP nearest supers (8x less HBM on setup writes and
+    # every refill read at 1M tris); overflow rays park conservatively
+    # and finish in a compaction stage, whose restart builds an uncapped
+    # order. Without a rescue stage the order must stay uncapped.
+    ord_t = _setup_rank(
+        o, d, sup_cb, best_t0, sbits, cap=ORD_CAP if nc < n else None
+    )
+    if ord_t is not None:
+        sup_ord = ord_t.T  # (n, s_out); pad columns hold _INT_INF
+    else:
+        sup_tn = _slab_all(o, d, sup_cb, best_t0)  # (N, S)
+        sup_ord = jax.lax.sort(
+            enc(sup_tn, jnp.broadcast_to(iota_s[None], sup_tn.shape), sbits),
+            dimension=1,
+        )
     w_full = ksup * SUP + k - 1
     state = dict(
         best_t=best_t0,
@@ -935,7 +1007,6 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     )
 
     m_pad_full = -(-(n * k) // 1024) * 1024
-    nc = min(n, max(1024, (-(-(n // compact_fraction) // 1024)) * 1024))
     if full_rounds is None:
         full_rounds = FULL_ROUNDS
     if nc >= n:
@@ -958,86 +1029,132 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         state,
     )
 
-    # ---- straggler compaction: ONE fat phase. Gather the first nc
+    def _stop(stx):
+        """Profiling-only early return (stop_after static knob): INCOMPLETE
+        results — best-so-far t plus the live pending count in [1]."""
+        pendc = jnp.sum(pend_mask(stx).astype(jnp.float32))
+        z = jnp.zeros_like(stx["best_t"])
+        return stx["best_t"], z + pendc, z, z
+
+    if stop_after == "setup":
+        return _stop(state)
+    if stop_after == "full":
+        return _stop(st)
+
+    # ---- straggler cascade. Each stage gathers the first `width`
     # still-pending rays into a dense sub-problem with escalated pop and
     # refill widths (stragglers span many supers — workload p99: 53
-    # eligible chunks) and run it to completion; repeat while any ray
-    # pends. The sub-problem RESTARTS each ray: a fresh Pallas setup on
-    # the gathered rays re-ranks their supers under their CURRENT best_t
-    # cap (far tighter than the launch cap once a hit exists), which is
-    # cheaper than gathering the full phase's (nc, S) super order and
-    # (nc, w) candidate buffer (two ~4.5 ms row gathers at 512k rays)
-    # and scattering them back. The restart may re-admit chunks the full
-    # phase already intersected; the integer-min merge is idempotent, so
-    # the only cost is a bounded re-intersection (≤ full_rounds·k pairs
-    # per straggler, once). A `retired` flag (not the stale candidate
-    # buffer) records completion — processed rays' buffers are left
-    # stale on purpose.
+    # eligible chunks). The sub-problem RESTARTS each ray: a fresh Pallas
+    # setup on the gathered rays re-ranks their supers under their
+    # CURRENT best_t cap (far tighter than the launch cap once a hit
+    # exists), which is cheaper than gathering the full phase's (w, S)
+    # super order and (w, W) candidate buffer and scattering them back.
+    # The restart may re-admit chunks an earlier phase already
+    # intersected; the integer-min merge is idempotent, so the only cost
+    # is a bounded re-intersection. A `retired` flag (not the stale
+    # candidate buffer) records completion — a processed ray's stale
+    # buffer stays conservative (it can only OVERestimate pending work:
+    # purges are monotone and popped entries were intersected), so an
+    # unfinished ray flows into the next stage with its tighter best_t.
+    #
+    # Stage shapes are scale-dependent (module docstring point 5): one
+    # bounded mid-width stage at n >= CASCADE_MIN, then a narrow final
+    # stage that loops while anything pends.
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+
+    def compact_phase(stf, width, ks, ksup_t, bounded):
+        """Gather the first `width` pending rays, solve with pop width
+        `ks` / refill width `ksup_t`; `bounded` caps the inner rounds
+        (None = run to completion). Returns the updated full-width state
+        with per-ray `retired` set only where the sub-run finished."""
+        w_sub = ksup_t * SUP + ks - 1
+        m_pad_c = -(-(width * ks) // 1024) * 1024
+        iota_w = jnp.arange(width, dtype=jnp.int32)
+
+        pend = pend_mask(stf) & ~stf["retired"]
+        cnt = jnp.cumsum(pend.astype(jnp.int32))
+        total = cnt[-1]
+        pos = jnp.where(pend & (cnt <= width), cnt - 1, width)
+        idxs = jnp.zeros((width,), jnp.int32).at[pos].set(iota_n, mode="drop")
+        live = iota_w < total  # duplicate-of-ray-0 padding lanes
+
+        o_s, d_s, ign_s = o[idxs], d[idxs], ign_f[idxs]
+        # dead padding lanes get best_t 0: nothing is ever eligible
+        best_s = jnp.where(live, stf["best_t"][idxs], 0.0)
+        ord_s = _setup_rank(o_s, d_s, sup_cb, best_s, sbits)
+        if ord_s is not None:
+            sup_ord_s = ord_s.T
+        else:
+            tn_s = _slab_all(o_s, d_s, sup_cb, best_s)
+            sup_ord_s = jax.lax.sort(
+                enc(tn_s, jnp.broadcast_to(iota_s[None], tn_s.shape), sbits),
+                dimension=1,
+            )
+        sub = dict(
+            best_t=best_s,
+            best_key=stf["best_key"][idxs],
+            best_chunk=stf["best_chunk"][idxs],
+            cand=jnp.full((width, w_sub), _INT_INF, jnp.int32),
+            cursor=jnp.zeros((width,), jnp.int32),
+            next_sup=sup_ord_s[:, 0],
+            rounds=jnp.zeros((), jnp.int32),
+        )
+        cap = max_rounds if bounded is None else bounded
+        done = jax.lax.while_loop(
+            lambda s: (s["rounds"] < cap) & jnp.any(pend_mask(s)),
+            lambda s: round_body(
+                s, o_s, d_s, ign_s, m_pad_c, ks, w_sub, ksup_t, sup_ord_s
+            ),
+            sub,
+        )
+
+        finished = live & ~pend_mask(done)
+        tgt = jnp.where(live, idxs, n)  # sentinel rows dropped
+        out = dict(stf)
+        for f in ("best_t", "best_key", "best_chunk"):
+            out[f] = stf[f].at[tgt].set(done[f], mode="drop")
+        out["retired"] = stf["retired"].at[
+            jnp.where(finished, idxs, n)
+        ].set(True, mode="drop")
+        return out
+
     if nc < n:
-        ks = k_straggler
-        ksup_t = tail_ksup
-        w_tail = ksup_t * SUP + ks - 1
-        m_pad_c = -(-(nc * ks) // 1024) * 1024
-        iota_n = jnp.arange(n, dtype=jnp.int32)
-        iota_nc = jnp.arange(nc, dtype=jnp.int32)
+        st = {**st, "retired": jnp.zeros((n,), bool)}
+        if n >= CASCADE_MIN:
+            mid_w = -(-(n // MID_FRACTION) // 1024) * 1024
+            # cond: a fully-coherent wave (camera rays) retires in the
+            # full rounds — skip the mid stage's fixed cost outright
+            st = jax.lax.cond(
+                jnp.any(pend_mask(st) & ~st["retired"]),
+                lambda s: compact_phase(
+                    s, mid_w, MID_K, MID_KSUP, bounded=MID_ROUNDS
+                ),
+                lambda s: s,
+                st,
+            )
+            final_w = max(1024, (-(-(n // FINAL_FRACTION) // 1024)) * 1024)
+        else:
+            final_w = nc
+        if stop_after == "mid":
+            pendc = jnp.sum(
+                (pend_mask(st) & ~st["retired"]).astype(jnp.float32)
+            )
+            z = jnp.zeros_like(st["best_t"])
+            return st["best_t"], z + pendc, z, z
 
         def outer(stf):
-            pend = pend_mask(stf) & ~stf["retired"]
-            cnt = jnp.cumsum(pend.astype(jnp.int32))
-            total = cnt[-1]
-            pos = jnp.where(pend & (cnt <= nc), cnt - 1, nc)
-            idxs = jnp.zeros((nc,), jnp.int32).at[pos].set(iota_n, mode="drop")
-            live = iota_nc < total  # duplicate-of-ray-0 padding lanes
-
-            o_s, d_s, ign_s = o[idxs], d[idxs], ign_f[idxs]
-            # dead padding lanes get best_t 0: nothing is ever eligible
-            best_s = jnp.where(live, stf["best_t"][idxs], 0.0)
-            ord_s = _setup_rank(o_s, d_s, sup_cb, best_s, sbits)
-            if ord_s is not None:
-                sup_ord_s = ord_s.T
-            else:
-                tn_s = _slab_all(o_s, d_s, sup_cb, best_s)
-                sup_ord_s = jax.lax.sort(
-                    enc(tn_s, jnp.broadcast_to(iota_s[None], tn_s.shape),
-                        sbits),
-                    dimension=1,
-                )
-            sub = dict(
-                best_t=best_s,
-                best_key=stf["best_key"][idxs],
-                best_chunk=stf["best_chunk"][idxs],
-                cand=jnp.full((nc, w_tail), _INT_INF, jnp.int32),
-                cursor=jnp.zeros((nc,), jnp.int32),
-                next_sup=sup_ord_s[:, 0],
-                rounds=jnp.zeros((), jnp.int32),
+            out = compact_phase(
+                stf, final_w, k_straggler, tail_ksup, bounded=None
             )
-            done = jax.lax.while_loop(
-                lambda s: (s["rounds"] < max_rounds) & jnp.any(pend_mask(s)),
-                lambda s: round_body(
-                    s, o_s, d_s, ign_s, m_pad_c, ks, w_tail, ksup_t,
-                    sup_ord_s,
-                ),
-                sub,
-            )
-
-            tgt = jnp.where(live, idxs, n)  # sentinel rows dropped
-            out = dict(stf)
-            for f in ("best_t", "best_key", "best_chunk"):
-                out[f] = stf[f].at[tgt].set(done[f], mode="drop")
-            out["retired"] = stf["retired"].at[tgt].set(True, mode="drop")
             out["outer"] = stf["outer"] + 1
             return out
 
-        outer_cap = (n // nc + 2) * 4
+        outer_cap = (n // final_w + 2) * 4
         st = jax.lax.while_loop(
             lambda s: (s["outer"] < outer_cap)
             & jnp.any(pend_mask(s) & ~s["retired"]),
             outer,
-            {
-                **st,
-                "outer": jnp.zeros((), jnp.int32),
-                "retired": jnp.zeros((n,), bool),
-            },
+            {**st, "outer": jnp.zeros((), jnp.int32)},
         )
         st.pop("outer")
         st.pop("retired")

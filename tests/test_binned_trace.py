@@ -110,6 +110,46 @@ def test_binned_multi_super_level():
     np.testing.assert_allclose(np.asarray(h.t)[both], np.asarray(r.t)[both], rtol=1e-4)
 
 
+def test_binned_cascade_phases(monkeypatch):
+    """The large-n straggler cascade (bounded mid stage + narrow final
+    loop) must agree exactly with the linear oracle. CASCADE_MIN is
+    lowered so a CPU-sized trace takes the cascade path; n=4096 is unique
+    to this test so the jit cache can't serve a pre-patch trace."""
+    monkeypatch.setattr(bt, "CASCADE_MIN", 2048)
+    geom = _geometry(20000, 500, seed=51)
+    soa = _hier(geom, seed=52)
+    n = 4096
+    o, d = _rays(n, seed=53)
+    ig = jnp.full((n,), -1, jnp.int32)
+    h = bt.trace_binned(geom, soa, o, d, jnp.inf, ig, k=2, k_straggler=4)
+    r = intersect_linear(geom, o, d, jnp.inf, ig)
+    np.testing.assert_array_equal(np.asarray(h.prim), np.asarray(r.prim))
+    both = np.asarray(h.prim) >= 0
+    # 5e-4: the recovery's band fallback (module docstring) plus 1/det
+    # amplification near grazing hits — prim choice above is still exact
+    np.testing.assert_allclose(np.asarray(h.t)[both], np.asarray(r.t)[both], rtol=5e-4)
+    # occlude through the same cascade
+    want = intersect_linear(geom, o, d, 2.0, ig).prim >= 0
+    got = bt.occlude_binned(geom, soa, o, d, 2.0, ig, k=2, k_straggler=4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_binned_capped_order_overflow(monkeypatch):
+    """With ORD_CAP below the scene's super count, rays that need supers
+    past the cap must park conservatively and complete in a compaction
+    stage (never false-terminate with a miss or a too-far hit)."""
+    monkeypatch.setattr(bt, "ORD_CAP", 2)
+    geom = _geometry(20000, 500, seed=61)
+    soa = _hier(geom, seed=62)
+    assert -(-soa.num_chunks // bt.SUP) > 2  # cap genuinely binds
+    n = 2048  # > 1024 so a compaction stage exists (cap only then)
+    o, d = _rays(n, seed=63)
+    ig = jnp.full((n,), -1, jnp.int32)
+    h = bt.trace_binned(geom, soa, o, d, jnp.inf, ig, k=2, k_straggler=4)
+    r = intersect_linear(geom, o, d, jnp.inf, ig)
+    np.testing.assert_array_equal(np.asarray(h.prim), np.asarray(r.prim))
+
+
 def test_setup_rank_kernel_matches_xla_sort():
     """The fused Pallas setup (slab + in-kernel bitonic rank,
     bt._setup_rank) must produce exactly the XLA reference pipeline's
