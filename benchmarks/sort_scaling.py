@@ -69,4 +69,5 @@ def main():
             timeit(f"min-extract x7 ({m//64} x {w*4})", jax.jit(pop7))
 
 
-main()
+if __name__ == "__main__":
+    main()

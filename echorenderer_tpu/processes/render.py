@@ -454,6 +454,17 @@ def render_layer(
     total_samples = 0
     start = time.perf_counter()
 
+    # surface the dispatch decision (VERDICT r3 weak #6): one log line per
+    # layer naming the accelerator/integrator path and why, and the same
+    # dict in the returned info (-> dashboard /stats.json)
+    from ..evaluation.scene_ops import dispatch_summary
+
+    dispatch = dispatch_summary(scene)
+    diagnostics.log_event(
+        diagnostics.get_logger("render"), "dispatch",
+        layer=profile.layer_name, **dispatch,
+    )
+
     # per-pixel adaptive: min_epoch full-frame epochs (every pixel needs >= 2
     # samples for a noise estimate), then only still-noisy pixels continue
     adaptive = (
@@ -539,6 +550,7 @@ def render_layer(
         epochs=epochs_done,
         seconds=elapsed,
         samples_per_second=total_samples / max(elapsed, 1e-9),
+        dispatch=dispatch,
     )
     return image, info
 

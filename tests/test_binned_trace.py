@@ -100,7 +100,8 @@ def test_binned_multi_super_level():
     guard-capped frontier, exhausted-super marking)."""
     geom = _geometry(20000, 500, seed=31)
     soa = _hier(geom, seed=32)
-    assert soa.num_chunks > bt.SUP * 3  # multiple supers
+    # multiple supers (binned selection runs at 128-prim half-chunks)
+    assert soa.num_chunks * 2 > bt.SUP * 3
     o, d = _rays(128, seed=33)
     ig = jnp.full((128,), -1, jnp.int32)
     h = bt.trace_binned(geom, soa, o, d, jnp.inf, ig, rounds=64, k=4)
@@ -141,7 +142,8 @@ def test_binned_capped_order_overflow(monkeypatch):
     monkeypatch.setattr(bt, "ORD_CAP", 2)
     geom = _geometry(20000, 500, seed=61)
     soa = _hier(geom, seed=62)
-    assert -(-soa.num_chunks // bt.SUP) > 2  # cap genuinely binds
+    # cap genuinely binds (selection units: 128-prim half-chunks)
+    assert -(-(soa.num_chunks * 2) // bt.SUP) > 2
     n = 2048  # > 1024 so a compaction stage exists (cap only then)
     o, d = _rays(n, seed=63)
     ig = jnp.full((n,), -1, jnp.int32)
@@ -195,3 +197,98 @@ def test_setup_rank_kernel_matches_xla_sort():
     got = np.asarray(ord_t.T)
     np.testing.assert_array_equal(got[:, :s_count], ref)
     assert np.all(got[:, s_count:] == bt._INT_INF)
+
+
+def _instanced_scene():
+    """TLAS scene: several placements (translate/scale/rotate) of a pack
+    holding a small triangle mesh + spheres."""
+    from echorenderer_tpu.scene import (
+        BoxEntity, Diffuse, EntityPack, PackInstance, PerspectiveCamera,
+        Scene, SphereEntity,
+    )
+    from echorenderer_tpu.scene.prepare import prepare_scene
+
+    pack = EntityPack()
+    pack.add(BoxEntity(size=(0.8, 0.6, 0.4),
+                       material=Diffuse(albedo=(0.8, 0.5, 0.2))))
+    pack.add(SphereEntity(radius=0.35, material=Diffuse(albedo=(0.2, 0.6, 0.9)),
+                          position=(0, 0.9, 0)))
+    scene = Scene()
+    scene.add(PackInstance(pack, position=(-1.6, 0, 0)))
+    scene.add(PackInstance(pack, position=(1.4, 0.2, 0.5), scale=0.6,
+                           rotation=(0, 40, 0)))
+    scene.add(PackInstance(pack, position=(0, -1.0, 1.0), scale=1.3,
+                           rotation=(25, 0, 10)))
+    scene.add(PerspectiveCamera(position=(0, 0, -5)))
+    return prepare_scene(scene)
+
+
+def test_binned_instanced_matches_hier():
+    """Instanced binned traversal (global virtual chunks + per-segment
+    affines) must agree exactly with the instanced packet walk: same
+    (prim, inst) and world t. Ref: PreparedInstance.cs:47-61."""
+    prepared = _instanced_scene()
+    soa = prepared.hier_soa
+    assert soa.instanced and soa.binned_g2c.shape[0] > 0
+    n = 512
+    rs = np.random.RandomState(5)
+    o_np = rs.uniform(-3, 3, (n, 3)).astype(np.float32)
+    # aim at the placements so a healthy fraction genuinely hits
+    anchors = np.asarray(
+        [[-1.6, 0, 0], [1.4, 0.2, 0.5], [0, -1.0, 1.0]], np.float32)
+    tgt = anchors[rs.randint(0, 3, n)] + rs.normal(
+        scale=0.4, size=(n, 3)).astype(np.float32)
+    dd = tgt - o_np
+    o = jnp.asarray(o_np)
+    d = jnp.asarray(dd / np.linalg.norm(dd, axis=-1, keepdims=True))
+    ig = jnp.full((n,), -1, jnp.int32)
+
+    h = ph.intersect_hier(prepared.geometry, soa, o, d, jnp.inf, ig)
+    b = bt.trace_binned(prepared.geometry, soa, o, d, jnp.inf, ig,
+                        k=2, k_straggler=4)
+    np.testing.assert_array_equal(np.asarray(b.prim), np.asarray(h.prim))
+    found = np.asarray(h.prim) >= 0
+    np.testing.assert_array_equal(
+        np.asarray(b.inst)[found], np.asarray(h.inst)[found])
+    np.testing.assert_allclose(
+        np.asarray(b.t)[found], np.asarray(h.t)[found], rtol=5e-4)
+    assert found.mean() > 0.2  # the rays genuinely hit the scene
+
+    # occlusion through the same machinery
+    for t_max in (1.5, 1e30):
+        want = ph.occlude_hier(prepared.geometry, soa, o, d,
+                               jnp.full((n,), t_max), ig)
+        got = bt.occlude_binned(prepared.geometry, soa, o, d,
+                                jnp.full((n,), t_max), ig, k=2, k_straggler=4)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_binned_instanced_per_instance_ignore():
+    """A prim ignore applies only inside the ray's own instance: re-trace
+    from each hit ignoring (prim, inst) and require the same (prim, inst)
+    never repeats, matching the packet walk's result exactly."""
+    prepared = _instanced_scene()
+    soa = prepared.hier_soa
+    n = 256
+    rs = np.random.RandomState(7)
+    o = jnp.asarray(rs.uniform(-3, 3, (n, 3)).astype(np.float32))
+    dd = rs.normal(size=(n, 3)).astype(np.float32)
+    d = jnp.asarray(dd / np.linalg.norm(dd, axis=-1, keepdims=True))
+    ig0 = jnp.full((n,), -1, jnp.int32)
+    first = bt.trace_binned(prepared.geometry, soa, o, d, jnp.inf, ig0,
+                            k=2, k_straggler=4)
+    ig = jnp.maximum(first.prim, -1)
+    second = bt.trace_binned(prepared.geometry, soa, o, d, jnp.inf, ig,
+                             first.inst, k=2, k_straggler=4)
+    ref = ph.intersect_hier(prepared.geometry, soa, o, d, jnp.inf, ig,
+                            first.inst)
+    np.testing.assert_array_equal(np.asarray(second.prim), np.asarray(ref.prim))
+    found = np.asarray(ref.prim) >= 0
+    np.testing.assert_array_equal(
+        np.asarray(second.inst)[found], np.asarray(ref.inst)[found])
+    # a triangle hit never repeats as the same (prim, inst)
+    tri = (np.asarray(first.prim) >= 0) & (
+        np.asarray(first.prim) < prepared.geometry.num_triangles)
+    same = (np.asarray(second.prim) == np.asarray(first.prim)) & (
+        np.asarray(second.inst) == np.asarray(first.inst))
+    assert not bool((same & tri).any())

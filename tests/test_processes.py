@@ -89,3 +89,27 @@ class TestCheckpoint:
         cp2 = tmp_path / "straight.npz"
         img_straight, _ = resume_render_layer(scene, prof3, res, cp2)
         np.testing.assert_allclose(img_resumed, img_straight, atol=1e-6)
+
+
+def test_dispatch_summary_surfaced():
+    """Every render reports which accelerator/integrator path it took and
+    why (VERDICT r3 weak #6). Small CPU scene: linear or dense dispatch,
+    wavefront integrator with a reason."""
+    from echorenderer_tpu.evaluation.scene_ops import dispatch_summary
+    from echorenderer_tpu.models import scenes
+    from echorenderer_tpu.processes.render import EvaluationProfile, render_layer
+    from echorenderer_tpu.scene.prepare import prepare_scene
+
+    scene = prepare_scene(scenes.cornell_box())
+    d = dispatch_summary(scene)
+    assert d["accelerator"] in (
+        "linear", "dense-stream", "bvh-lockstep", "hier-packet", "binned")
+    assert d["integrator"] in ("megakernel", "wavefront")
+    assert d["integrator_reason"]
+
+    prof = EvaluationProfile(
+        layer_name="path", evaluator="path", samples_per_epoch=1,
+        min_epoch=1, max_epoch=1, bounce_limit=2,
+    )
+    _, info = render_layer(scene, prof, (8, 6))
+    assert info["dispatch"] == d
