@@ -95,7 +95,7 @@ MID_FRACTION = 8  # r4 stage profile: 8.9% of random rays pend after fr=2
 MID_K = 16
 MID_KSUP = 8
 MID_ROUNDS = 1
-FINAL_FRACTION = 64
+FINAL_FRACTION = 128  # r4 sweep: 2.86 vs 2.65 Mrays/s at 64
 # nearest supers stored per ray in the FULL-width phase order (capped:
 # see extract_sups; compaction restarts store the full order). Workload
 # r4: p90 eligible chunks 15 => examined supers rarely exceed ~16.

@@ -36,10 +36,56 @@ REGION = 4  # compare means over REGION x REGION pixel blocks
 BLOCK = 1 << 16  # oracle path block (bounds numpy peak memory)
 
 
+def _np_fresnel_dielectric(cos_i, eta_i, eta_t):
+    """Unpolarized dielectric Fresnel (the textbook equations the repo's
+    spec also implements — formulas shared, code independent)."""
+    cos_i = np.clip(np.abs(cos_i), 0.0, 1.0)
+    sin2_t = (eta_i / eta_t) ** 2 * np.maximum(1.0 - cos_i * cos_i, 0.0)
+    tir = sin2_t >= 1.0
+    cos_t = np.sqrt(np.maximum(1.0 - sin2_t, 0.0))
+    r_par = (eta_t * cos_i - eta_i * cos_t) / np.maximum(
+        eta_t * cos_i + eta_i * cos_t, 1e-20)
+    r_per = (eta_i * cos_i - eta_t * cos_t) / np.maximum(
+        eta_i * cos_i + eta_t * cos_t, 1e-20)
+    return np.where(tir, 1.0, 0.5 * (r_par ** 2 + r_per ** 2)), tir
+
+
+def _np_fresnel_conductor(cos_i, eta, k):
+    """Per-channel complex-IOR Fresnel (standard form)."""
+    c = np.clip(np.abs(cos_i), 0.0, 1.0)[..., None]
+    c2 = c * c
+    s2 = 1.0 - c2
+    e2 = eta * eta
+    k2 = k * k
+    t0 = e2 - k2 - s2
+    a2b2 = np.sqrt(np.maximum(t0 * t0 + 4.0 * e2 * k2, 0.0))
+    t1 = a2b2 + c2
+    a = np.sqrt(np.maximum(0.5 * (a2b2 + t0), 0.0))
+    t2 = 2.0 * a * c
+    rs = (t1 - t2) / np.maximum(t1 + t2, 1e-20)
+    t3 = c2 * a2b2 + s2 * s2
+    t4 = t2 * s2
+    rp = rs * (t3 - t4) / np.maximum(t3 + t4, 1e-20)
+    return 0.5 * (rs + rp)
+
+
+def _np_artistic_to_physical(main, edge):
+    """Gulbrandsen 2014 artist-friendly metallic Fresnel -> (eta, k)."""
+    r = np.clip(main, 0.0, 1.0 - 1e-4)
+    sqrt_r = np.sqrt(r)
+    eta = (1.0 + sqrt_r) / (1.0 - sqrt_r) * (1.0 - edge) \
+        + (1.0 - r) / (1.0 + r) * edge
+    k2 = (r * (eta + 1.0) ** 2 - (eta - 1.0) ** 2) / np.maximum(1.0 - r, 1e-4)
+    return np.maximum(eta, 1e-4), np.sqrt(np.maximum(k2, 0.0))
+
+
 def _oracle_render(prepared, res, spp, bounce_limit, seed):
     """Brute-force numpy path tracer over the prepared triangle soup:
     BSDF-sampling-only transport, float64, independent of all repo
-    physics code. Returns (mean, sq_sum) per pixel, scan order."""
+    physics code. Diffuse (Lambert), smooth dielectric (Fresnel
+    reflect/refract lobe choice, radiance scaled by (eta_i/eta_t)^2 on
+    transmission) and smooth artistic conductor (complex-Fresnel mirror)
+    are supported. Returns (mean, sq_sum) per pixel, scan order."""
     g = prepared.geometry
     v0 = np.asarray(g.tri_v0, np.float64)
     e1 = np.asarray(g.tri_e1, np.float64)
@@ -47,6 +93,8 @@ def _oracle_render(prepared, res, spp, bounce_limit, seed):
     tri_mat = np.asarray(g.tri_mat).astype(np.int64)
     mp = np.asarray(prepared.mat_pack, np.float64)
     albedo, mtype = mp[:, 0:3], mp[:, 10].astype(np.int64)
+    m_ior = mp[:, 4]
+    m_edge = mp[:, 7:10]
     is_emissive = mtype == 4  # scene/materials.py EMISSIVE
     geo_n = np.cross(e1, e2)
     geo_n /= np.linalg.norm(geo_n, axis=1, keepdims=True)
@@ -96,10 +144,11 @@ def _oracle_render(prepared, res, spp, bounce_limit, seed):
                 break
 
             hit_p = o + np.where(found, t_hit, 0.0)[:, None] * d
-            # two-sided Lambert: throughput *= albedo, cosine sample on
-            # the incoming side of the geometric normal
-            tp = np.where(alive[:, None], tp * albedo[mat], tp)
-            ns = np.where(facing[:, None], nrm, -nrm)
+            ns = np.where(facing[:, None], nrm, -nrm)  # incident-side normal
+            m_t = mtype[mat]
+            cos_i = np.abs(np.einsum("nk,nk->n", ns, -d))
+
+            # --- Lambert (two-sided): tp *= albedo, cosine sample ---
             up = np.where(
                 np.abs(ns[:, 2:3]) < 0.9,
                 np.array([[0.0, 0.0, 1.0]]),
@@ -114,11 +163,41 @@ def _oracle_render(prepared, res, spp, bounce_limit, seed):
             r = np.sqrt(u2[:, 0])
             phi = 2 * np.pi * u2[:, 1]
             lz = np.sqrt(np.maximum(1.0 - u2[:, 0], 0.0))
-            d = (
+            d_diff = (
                 (r * np.cos(phi))[:, None] * tang
                 + (r * np.sin(phi))[:, None] * bit
                 + lz[:, None] * ns
             )
+
+            # --- smooth dielectric: lobe by exact Fresnel; transmission
+            # scales radiance by (eta_i/eta_t)^2 (repo Specular.cs spec) ---
+            ior = np.maximum(m_ior[mat], 1.0 + 1e-4)
+            eta_i = np.where(facing, 1.0, ior)
+            eta_t = np.where(facing, ior, 1.0)
+            f_d, tir = _np_fresnel_dielectric(cos_i, eta_i, eta_t)
+            u_lobe = rng.random(n)
+            refl = (u_lobe < f_d) | tir
+            d_refl = d + 2.0 * cos_i[:, None] * ns
+            eta = eta_i / eta_t
+            cos_t = np.sqrt(
+                np.maximum(1.0 - eta * eta * (1.0 - cos_i * cos_i), 0.0))
+            d_refr = eta[:, None] * d + (eta * cos_i - cos_t)[:, None] * ns
+            d_refr /= np.maximum(
+                np.linalg.norm(d_refr, axis=1, keepdims=True), 1e-12)
+            d_diel = np.where(refl[:, None], d_refl, d_refr)
+            tp_diel = albedo[mat] * np.where(refl, 1.0, eta * eta)[:, None]
+
+            # --- smooth artistic conductor: complex-Fresnel mirror ---
+            eta_c, k_c = _np_artistic_to_physical(albedo[mat], m_edge[mat])
+            tp_cond = _np_fresnel_conductor(cos_i, eta_c, k_c)
+
+            diel = m_t == 2
+            cond = m_t == 3
+            d = np.where(diel[:, None], d_diel,
+                         np.where(cond[:, None], d_refl, d_diff))
+            mult = np.where(diel[:, None], tp_diel,
+                            np.where(cond[:, None], tp_cond, albedo[mat]))
+            tp = np.where(alive[:, None], tp * mult, tp)
             o = hit_p
             ignore = np.where(alive, prim, -1)
         return rad
@@ -187,3 +266,89 @@ def test_cornell_matches_independent_oracle():
     # whole-image luminance within 1.5%
     lo, lr = float(o_mean.mean()), float(r_mean.mean())
     assert abs(lo - lr) / max(lo, 1e-9) < 0.015, (lo, lr)
+
+
+def _img_se(mean, sq, spp):
+    """Standard error of the whole-image mean from per-pixel (mean, sq)."""
+    var = np.maximum(sq / spp - mean * mean, 0.0) / spp
+    return float(np.sqrt(var.sum()) / var.size)
+
+
+def _compare(prepared, spp, bounces, seed, sigma=5.0):
+    o_mean, o_sq = _oracle_render(prepared, RES, spp, bounces, seed=seed)
+    s_sum, s_sq = _sample_frame_jit(
+        prepared, "path", RES, 0, jnp.asarray(0, jnp.uint32), spp,
+        bounces, 2.5,
+    )
+    r_mean = np.asarray(s_sum, np.float64) / spp
+    r_sq = np.asarray(s_sq, np.float64)
+    ro = _region_means(o_mean, RES)
+    rr = _region_means(r_mean, RES)
+    se = np.sqrt(
+        _region_se(o_mean, o_sq, spp, RES) ** 2
+        + _region_se(r_mean, r_sq, spp, RES) ** 2
+    )
+    diff = np.abs(ro - rr)
+    tol = sigma * se + 5e-3
+    assert (diff <= tol).all(), (
+        f"region means drift from independent oracle:\n"
+        f"max diff {diff.max():.5f} vs tol "
+        f"{tol[np.unravel_index(diff.argmax(), diff.shape)]:.5f}\n"
+        f"oracle {ro[..., 0]}\nrender {rr[..., 0]}"
+    )
+    # whole-image luminance: noise-aware tolerance (the BSDF-only oracle's
+    # image mean is itself high-variance on small-light scenes) + a small
+    # floor for f32-vs-f64 accumulation
+    lo, lr = float(o_mean.mean()), float(r_mean.mean())
+    se_img = np.sqrt(_img_se(o_mean, o_sq, spp) ** 2
+                     + _img_se(r_mean, r_sq, spp) ** 2)
+    assert abs(lo - lr) <= sigma * se_img + 0.005 * max(lo, lr), (
+        lo, lr, se_img)
+
+
+def test_small_light_nee_mis_matches_oracle():
+    """NEE + power-heuristic MIS against the BSDF-only oracle on a scene
+    where MIS weights carry the image: ONE small bright area light (1/16
+    the cornell light's area, 16x its radiance). A wrong MIS weight or a
+    doubled NEE term shifts region means far outside the tolerance; the
+    oracle never evaluates NEE so the two estimators share nothing but
+    the integral they estimate. Ref: PathTracedEvaluator.cs:162-213."""
+    from echorenderer_tpu.models.scenes import cornell_box
+    from echorenderer_tpu.scene import Emissive, PlaneEntity
+
+    scene = cornell_box()
+    # shrink the stock light away and add a small, bright one
+    for ent in scene.children:
+        mat = getattr(ent, "material", None)
+        if mat is not None and type(mat).__name__ == "Emissive":
+            ent.size = ent.size * 0.25  # 1/16 area
+            ent.material = Emissive(
+                albedo=tuple(np.asarray([18.4, 15.6, 8.0]) * 16.0))
+    prepared = prepare_scene(scene)
+    _compare(prepared, spp=4096, bounces=6, seed=11)
+
+
+def test_specular_transport_matches_oracle():
+    """Smooth dielectric (Fresnel lobe choice + radiance (eta_i/eta_t)^2)
+    and smooth artistic conductor (complex Fresnel) against independent
+    numpy implementations of the same published formulas. A Fresnel sign
+    flip, a missing eta^2, or a wrong lobe pdf biases region means well
+    past tolerance. Ref: Specular.cs:62, Conductor.cs:100-118."""
+    from echorenderer_tpu.models.scenes import cornell_box
+    from echorenderer_tpu.scene import BoxEntity, Conductor, Dielectric
+
+    scene = cornell_box()
+    scene.add(BoxEntity(  # glass slab mid-room
+        size=(4.0, 5.0, 0.6),
+        material=Dielectric(albedo=(0.95, 0.97, 1.0), roughness=0.0,
+                            refractive_index=1.5),
+        position=(0.0, 4.0, -2.5),
+    ))
+    scene.add(BoxEntity(  # mirror panel near the left wall
+        size=(0.4, 7.0, 7.0),
+        material=Conductor(albedo=(0.9, 0.7, 0.4), edge=(1.0, 1.0, 1.0),
+                           roughness=0.0, artistic=True),
+        position=(-4.5, 3.5, 1.0), rotation=(0, 15, 0),
+    ))
+    prepared = prepare_scene(scene)
+    _compare(prepared, spp=3072, bounces=8, seed=13)
