@@ -30,6 +30,12 @@ from ..scene.prepare import PreparedScene
 from ..utils.rng import SampleStream
 from .integrators import path_step
 
+# lane count from which the liveness cascade engages (below it the extra
+# compiled loop bodies cost more than the width savings; CPU tests stay on
+# the single full-width loop) and the narrowest stage width
+WAVE_CASCADE_MIN = 2 ** 18
+WAVE_CASCADE_FLOOR = 8192
+
 
 def sample_frame_wavefront(
     scene: PreparedScene,
@@ -96,19 +102,25 @@ def sample_frame_wavefront(
     # planned binned-traversal wavefront; default off.
     sort_waves = bool(sort_lanes)
 
-    def stream_lanes(pid, sample_id):
+    # sample_start may be per-lane (chained runs, adaptive resumes): carry
+    # it as lane state so the liveness cascade can compact it with the rest
+    s0_lane = jnp.broadcast_to(
+        jnp.asarray(sample_start, jnp.uint32), (n,)
+    )
+
+    def stream_lanes(pid, sample_id, s0):
         return SampleStream(
             pixel_id=pid,
-            sample_id=sample_start + sample_id,
+            sample_id=s0 + sample_id,
             seed=jnp.asarray(seed, jnp.uint32),
         )
 
-    def spawn(pid, pxy, sample_id):
-        s = stream_lanes(pid, sample_id)
+    def spawn(pid, pxy, sample_id, s0):
+        s = stream_lanes(pid, sample_id, s0)
         o, d = spawn_rays(scene.camera, pxy, s.next_2d(0), s.next_2d(1), resolution)
         return o, d
 
-    o0, d0 = spawn(pixel_id, pixel_xy, jnp.zeros((n,), jnp.uint32))
+    o0, d0 = spawn(pixel_id, pixel_xy, jnp.zeros((n,), jnp.uint32), s0_lane)
 
     state = dict(
         s_sum=f3(),
@@ -118,6 +130,7 @@ def sample_frame_wavefront(
         # lane identity (permuted together with the path state when sorting)
         pid=pixel_id,
         pxy=pixel_xy,
+        s0=s0_lane,
         home=jnp.arange(n, dtype=jnp.int32),  # original lane slot
         # live path state
         radiance=f3(),
@@ -178,7 +191,7 @@ def sample_frame_wavefront(
         if sort_waves:
             st = _permute(st)
         live = ~st["lane_done"]
-        stream = stream_lanes(st["pid"], st["sample"])
+        stream = stream_lanes(st["pid"], st["sample"], st["s0"])
 
         # all physics (trace, MIS emission, NEE, bounce, RR) lives in the
         # shared path_step — bit-identical to the lockstep integrator
@@ -203,7 +216,7 @@ def sample_frame_wavefront(
         lane_done = st["lane_done"] | (path_done & (next_sample >= count))
         respawn = path_done & ~lane_done
 
-        cam_o, cam_d = spawn(st["pid"], st["pxy"], next_sample)
+        cam_o, cam_d = spawn(st["pid"], st["pxy"], next_sample, st["s0"])
         sel = lambda m, a, b: jnp.where(m[..., None] if a.ndim > 1 else m, a, b)
         return dict(
             s_sum=s_sum,
@@ -212,6 +225,7 @@ def sample_frame_wavefront(
             lane_done=lane_done,
             pid=st["pid"],
             pxy=st["pxy"],
+            s0=st["s0"],
             home=st["home"],
             radiance=sel(respawn, jnp.zeros_like(radiance), radiance),
             throughput=sel(respawn, jnp.ones_like(new_tp), new_tp),
@@ -239,7 +253,57 @@ def sample_frame_wavefront(
             ),
         )
 
-    state = jax.lax.while_loop(cond, body, state)
+    # --- liveness cascade (r4): as paths terminate without respawning
+    # (sample budgets exhausted), live lanes thin out but every iteration
+    # still pays FULL-width traversal — the 1M-tri 1080p bench at spp=1
+    # spent 7 iterations at 2M lanes with live fractions ~1.0 -> ~0.01
+    # (xprof, benchmarks/e2e_profile.py). Once the live count drops below
+    # a stage width, compact the live lanes into a dense prefix (argsort
+    # by lane_done — a pure permutation; every draw keys on (pixel,
+    # sample, dim) so per-sample radiance is bitwise unchanged) and keep
+    # looping at the narrower static width. Results scatter back at stage
+    # end. Same pattern as the binned traversal's straggler cascade.
+    def live_count(st):
+        return jnp.sum((~st["lane_done"]).astype(jnp.int32))
+
+    widths = []
+    if not sort_waves and n >= WAVE_CASCADE_MIN:
+        w = n
+        while True:
+            w = -(-(w // 4) // 1024) * 1024
+            if w < max(WAVE_CASCADE_FLOOR, n // 64) or (
+                widths and w >= widths[-1]
+            ) or w >= n:
+                break
+            widths.append(w)
+    if not widths:
+        state = jax.lax.while_loop(cond, body, state)
+    else:
+        st = jax.lax.while_loop(
+            lambda s: live_count(s) > widths[0], body, state
+        )
+        per_lane = [k for k, v in st.items()
+                    if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == n]
+        for i, width in enumerate(widths):
+            floor = widths[i + 1] if i + 1 < len(widths) else 0
+            perm = jnp.argsort(st["lane_done"])  # live lanes first
+            take = perm[:width]
+            sub = {
+                k: (v[take] if k in per_lane else v) for k, v in st.items()
+            }
+            sub = jax.lax.while_loop(
+                lambda s: live_count(s) > floor, body, sub
+            )
+            # bank the narrow stage's per-lane results; untaken lanes were
+            # all done and keep their accumulated sums
+            out = dict(st)
+            for k in per_lane:
+                out[k] = st[k].at[take].set(sub[k])
+            out["iters"] = sub["iters"]
+            out["counters"] = sub["counters"]
+            st = out
+        state = st
+
     if sort_waves:  # un-permute: each lane's sums back to its input slot
         inv = jnp.zeros((n,), jnp.int32).at[state["home"]].set(jnp.arange(n, dtype=jnp.int32))
         state["s_sum"] = state["s_sum"][inv]

@@ -591,6 +591,11 @@ def prepare_scene_instanced(
                 | ({mat_mod.INVISIBLE} if mone.any() else set())
             )
         ),
+        tex_flags=(
+            bool((mtex >= 0).any()),
+            bool((mntex >= 0).any()),
+            bool((mrtex >= 0).any()),
+        ),
     )
 
     # --- packed shading rows (pack-LOCAL space; interact rotates) ---

@@ -69,12 +69,17 @@ class MaterialTable(NamedTuple):
     one_sided: jax.Array  # (M,) int32 flag
     albedo_tex: jax.Array  # (M,) int32 texture id or -1
     present: tuple = ()  # static aux
+    # static aux: (any albedo texture, any normal map, any roughness
+    # texture) — lets trace-time dispatch (e.g. the megakernel) compile
+    # texture stages only when the scene actually has them, without a
+    # device readback
+    tex_flags: tuple = (False, False, False)
 
 
 jax.tree_util.register_pytree_node(
     MaterialTable,
-    lambda m: (tuple(m[:6]), m.present),
-    lambda aux, xs: MaterialTable(*xs, aux),
+    lambda m: (tuple(m[:6]), (m.present, m.tex_flags)),
+    lambda aux, xs: MaterialTable(*xs, aux[0], aux[1]),
 )
 
 
@@ -289,6 +294,16 @@ def build_material_arrays(materials):
         if atlas_slices
         else np.zeros((0, 1, 1, 4), np.float32)
     )
+    # quantize texel values to bf16-representable f32: the megakernel
+    # fetches texels through 0/1 one-hot MXU matmuls, which are EXACT at
+    # default (single-pass bf16) precision only for bf16-representable
+    # operands — quantizing ONCE here keeps the XLA wavefront and the
+    # megakernel reading identical values (bit-matched images). Error
+    # <= 2^-9 relative, far below 8-bit source quantization.
+    if tex_atlas.size:
+        import ml_dtypes
+
+        tex_atlas = tex_atlas.astype(ml_dtypes.bfloat16).astype(np.float32)
     return mtypes, malbedo, mparams, mextra, mone, mtex, mntex, mnint, mrtex, tex_atlas
 
 
@@ -674,6 +689,11 @@ def prepare_scene(
                 # OneSided wrappers turn backface hits into pass-through
                 | ({mat_mod.INVISIBLE} if mone.any() else set())
             )
+        ),
+        tex_flags=(
+            bool((mtex >= 0).any()),
+            bool((mntex >= 0).any()),
+            bool((mrtex >= 0).any()),
         ),
     )
     # --- packed shading rows (single-gather interact) ---

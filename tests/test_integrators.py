@@ -156,3 +156,33 @@ def test_wavefront_lane_sorting_bitwise_invariant():
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
+
+
+def test_wavefront_liveness_cascade_bitwise(monkeypatch):
+    """The liveness cascade (live lanes compacted into narrower static
+    widths as paths die) must not change a single bit of the per-pixel
+    sums: compaction is a pure permutation and every draw keys on
+    (pixel, sample, dim)."""
+    import jax.numpy as jnp
+
+    from echorenderer_tpu.evaluation import wavefront
+    from echorenderer_tpu.models import scenes as builtin
+    from echorenderer_tpu.scene.prepare import prepare_scene
+
+    scene = prepare_scene(builtin.cornell_box())
+    n = 64 * 32  # 2048 lanes
+    pixel_id = jnp.arange(n, dtype=jnp.uint32)
+    pixel_xy = jnp.stack(
+        [(pixel_id % 64).astype(jnp.int32), (pixel_id // 64).astype(jnp.int32)], -1
+    )
+    kw = dict(bounce_limit=4, survivability=2.5)
+    a, a2 = wavefront.sample_frame_wavefront(
+        scene, pixel_id, pixel_xy, (64, 32), 3, jnp.uint32(0), 2, **kw
+    )
+    monkeypatch.setattr(wavefront, "WAVE_CASCADE_MIN", 1024)
+    monkeypatch.setattr(wavefront, "WAVE_CASCADE_FLOOR", 512)
+    b, b2 = wavefront.sample_frame_wavefront(
+        scene, pixel_id, pixel_xy, (64, 32), 3, jnp.uint32(0), 2, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
