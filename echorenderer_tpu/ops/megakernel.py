@@ -26,7 +26,9 @@ Supported scene envelope (everything else falls back to the XLA wavefront):
     (in-kernel probabilistic descent + forward-MIS replay over one-hot
     node fetches; tree depth <= 24 so the path bitmask is f32-exact)
   - constant ambient (no env-map importance sampling)
-  - no texture atlas / normal maps
+  - texture atlases up to MEGA_TEX_LIMIT textures (albedo + normal maps +
+    roughness textures, in-kernel one-hot bilinear over the shared
+    bf16-quantized atlas — texel-exact vs the XLA wavefront)
   - perspective camera (incl. thin-lens DoF)
   - all material models (diffuse/dielectric/conductor/emissive/coated/
     invisible, incl. OneSided backface pass-through)
@@ -49,6 +51,10 @@ from .pallas_intersect import PRIM_BLOCK, RAY_BLOCK, _chunk_hits, _interpret
 # applicability limits: prim rows + (chunk, BR) intermediates must fit VMEM
 MEGA_PRIM_LIMIT = 2048
 MEGA_LIGHT_LIMIT = 512
+# textures the in-kernel bilinear fetch tolerates: every sample reads the
+# whole (3R, A*R) texel table through a 0/1 one-hot matmul, so cost grows
+# linearly with A (r4: ~0.4 Gflop/block-iteration per 256^2 texture)
+MEGA_TEX_LIMIT = 4
 
 # "fat chunk" layout for the hierarchical megakernel (large scenes): the
 # 16 intersect rows of ops/pallas_hier's chunk tensor followed by the 17
@@ -670,6 +676,99 @@ def _lookup(tableT, ids_row, n_cols):
     return acc
 
 
+def _lookup_1p(tableT, ids_row, n_cols):
+    """_lookup at DEFAULT (single-pass) matmul precision: EXACT when the
+    table's values are bf16-representable (0/1 one-hot weights, values
+    already bf16) — the texture atlas is quantized so at prep. 6x cheaper
+    than the HIGHEST-precision form on big tables."""
+    br = ids_row.shape[-1]
+    ids_i = ids_row.astype(jnp.int32)
+    acc = None
+    for c in range(0, n_cols, PRIM_BLOCK):
+        w = min(PRIM_BLOCK, n_cols - c)
+        base = jax.lax.broadcasted_iota(jnp.int32, (w, br), 0) + c
+        onehot = (ids_i == base).astype(tableT.dtype)
+        part = jax.lax.dot_general(
+            tableT[:, c : c + w], onehot,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=F32,
+        )
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _matan2(y, x):
+    """Mosaic-safe atan2 (neither atan nor acos lower on TPU Pallas):
+    octant reduction + an 11-term odd minimax polynomial on [0, 1]
+    (max error ~1e-6 rad). Used only for equirect sphere texture uv —
+    a <=1e-6 uv deviation from XLA's arctan2 can flip a texel at a
+    boundary on rare lanes; the megakernel parity tests tolerate it."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    t = jnp.minimum(ax, ay) / jnp.maximum(hi, 1e-30)
+    z = t * t
+    r = t * (
+        0.99997726
+        + z * (-0.33262347
+               + z * (0.19354346
+                      + z * (-0.11643287
+                             + z * (0.05265332 + z * -0.01172120))))
+    )
+    r = jnp.where(ay > ax, np.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0.0, np.float32(np.pi) - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _macos(z):
+    """Mosaic-safe arccos via _matan2: acos(z) = atan2(sqrt(1-z^2), z)."""
+    return _matan2(jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0)), z)
+
+
+def _tex_bilinear(texT, a_count, res, tid, u_g, v_g, grid, row):
+    """Repeat-wrapped bilinear over the shared quantized atlas — the
+    in-kernel form of scene_ops._sample_atlas, texel-for-texel identical:
+    0/1 one-hot fetches are exact on the bf16-representable values and the
+    interpolation arithmetic runs in f32 with the same formulas. texT rows
+    are channel-major (row = c*res + x), cols texture-major (tex*res + y).
+    `tid` must be pre-clamped to [0, a_count); returns a (3,) grid tuple."""
+    rf = np.float32(res)
+    u = (u_g % 1.0) * rf - 0.5
+    v = (v_g % 1.0) * rf - 0.5
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = u - u0
+    fv = v - v0
+    u0w = u0 % rf
+    u1w = (u0 + 1.0) % rf
+    v0w = v0 % rf
+    v1w = (v0 + 1.0) % rf
+    base = tid * rf
+    rows0 = _lookup_1p(texT, row(base + v0w), a_count * res)  # (3R, BR)
+    rows1 = _lookup_1p(texT, row(base + v1w), a_count * res)
+    rows0 = rows0.astype(F32)
+    rows1 = rows1.astype(F32)
+    br = rows0.shape[-1]
+    xi = jax.lax.broadcasted_iota(jnp.int32, (res, br), 0)
+    x0 = jnp.broadcast_to(row(u0w).astype(jnp.int32), (res, br))
+    x1 = jnp.broadcast_to(row(u1w).astype(jnp.int32), (res, br))
+    fu_b = jnp.broadcast_to(row(fu), (res, br))
+    # one weight plane shared by the 3 channel slices: w(x) = (1-fu) at
+    # x0 + fu at x1 (x0 == x1 can't happen: res >= 2)
+    wsel = jnp.where(xi == x0, 1.0 - fu_b, 0.0) + jnp.where(
+        xi == x1, fu_b, 0.0
+    )
+    out = []
+    fv_r = row(fv)
+    for c in range(3):
+        top = jnp.sum(rows0[c * res : (c + 1) * res] * wsel, axis=0,
+                      keepdims=True)
+        bot = jnp.sum(rows1[c * res : (c + 1) * res] * wsel, axis=0,
+                      keepdims=True)
+        out.append(grid(top * (1.0 - fv_r) + bot * fv_r))
+    return tuple(out)
+
+
 def _tree_importance(tr, x):
     """Importance of both packed children from a fetched light-tree node
     row `tr` (24 grid-shaped rows), the component form of
@@ -1011,7 +1110,8 @@ def _mega_kernel(
      n_chunks, chunk_w, has_tri, has_sph, n_lights, l_pad, m_pad, e_pad,
      has_point, has_dir, has_amb, has_emissive, sp_pad,
      hier, hier_root, hier_nsub,
-     has_tree, tree_depth, t_pad, f_pad) = static
+     has_tree, tree_depth, t_pad, f_pad,
+     tex_on, tex_res, a_count, has_ntex, has_rtex) = static
 
     if hier:
         # large-scene path: fat chunks streamed from HBM during the walk
@@ -1032,6 +1132,7 @@ def _mega_kernel(
         epackT = table_refs[13][:]
         treeT = table_refs[14][:] if has_tree else None
         tlT = table_refs[15][:] if has_tree else None
+        texT = table_refs[16 if has_tree else 14][:] if tex_on else None
         chunks = [(c * chunk_w, (c + 1) * chunk_w) for c in range(n_chunks)]
 
     S = (1, 8, 128)
@@ -1140,8 +1241,11 @@ def _mega_kernel(
                 rows, chunks, o_r, d_r, row(seg_t), row(ignore), has_tri, has_sph
             )
             prim_row = jnp.maximum(p_r, 0.0)
-            srow = _lookup(spT, prim_row, sp_pad)  # (SP_ROWS, BR)
-            sr = [grid(srow[i : i + 1]) for i in range(SP_ROWS)]
+            srow = _lookup(spT, prim_row, sp_pad)  # (SP_ROWS[+6 uv], BR)
+            sr = [
+                grid(srow[i : i + 1])
+                for i in range(SP_ROWS + (6 if tex_on else 0))
+            ]
         hit_t = grid(t_r)
         hit_p = grid(p_r)
         hit_u = grid(u_r)
@@ -1166,7 +1270,10 @@ def _mega_kernel(
         shade_n = _vwhere(is_sph, sph_geo, tri_shade)
         mat_row = row(sr[12])
         mrow = _lookup(matT, mat_row, m_pad)
-        mr = [grid(mrow[i : i + 1]) for i in range(MT_ROWS)]
+        mr = [
+            grid(mrow[i : i + 1])
+            for i in range(MT_ROWS + (4 if tex_on else 0))
+        ]
         albedo = (mr[0], mr[1], mr[2])
         params = (mr[3], mr[4], mr[5], mr[6])
         extra = (mr[7], mr[8], mr[9])
@@ -1174,6 +1281,66 @@ def _mega_kernel(
         if INVISIBLE in present:
             backface = _vdot(geo_n, _vneg(d)) < 0.0
             mtype = jnp.where(backface & (mr[11] > 0.5), float(INVISIBLE), mtype)
+
+        if tex_on:
+            # --- interact's texture stage (scene_ops.interact), op-for-op:
+            # barycentric tri uv (sp rows 17..22) / equirect sphere uv,
+            # then albedo override, tangent-space normal perturbation and
+            # roughness override — all through the shared quantized atlas
+            # so every texel matches the XLA wavefront bitwise ---
+            uv_u = w_bc * sr[17] + hit_u * sr[19] + hit_v * sr[21]
+            uv_v = w_bc * sr[18] + hit_u * sr[20] + hit_v * sr[22]
+            if has_sph:
+                pl_ = _vsub(point, tri_geo)  # rows 0:3 = center for spheres
+                rad = jnp.maximum(sr[3], 1e-20)  # radius rides row 3
+                pn = (pl_[0] / rad, pl_[1] / rad, pl_[2] / rad)
+                theta = _macos(jnp.clip(pn[1], -1.0, 1.0))
+                phi = _matan2(pn[0], pn[2])
+                uv_u = jnp.where(is_sph, phi * INV_TAU + 0.5, uv_u)
+                uv_v = jnp.where(is_sph, 1.0 - theta * INV_PI, uv_v)
+            tid_max = np.float32(max(a_count - 1, 0))
+            tid = mr[12]
+            t_rgb = _tex_bilinear(
+                texT, a_count, tex_res,
+                jnp.clip(row(tid), 0.0, tid_max), row(uv_u), row(uv_v),
+                grid, row,
+            )
+            has_t = tid >= 0.0
+            albedo = tuple(
+                jnp.where(has_t, t_rgb[k], albedo[k]) for k in range(3)
+            )
+            if has_ntex:
+                ntid = mr[13]
+                n_rgb = _tex_bilinear(
+                    texT, a_count, tex_res,
+                    jnp.clip(row(ntid), 0.0, tid_max), row(uv_u), row(uv_v),
+                    grid, row,
+                )
+                inten = mr[14]
+                t_, b_ = _frame(shade_n)
+                tn = tuple(n_rgb[k] * 2.0 - 1.0 for k in range(3))
+                pert = _vnormalize(
+                    _vadd(
+                        _vadd(
+                            _vscale(t_, tn[0] * inten),
+                            _vscale(b_, tn[1] * inten),
+                        ),
+                        _vscale(shade_n, jnp.maximum(tn[2], 0.1)),
+                    )
+                )
+                shade_n = _vwhere(ntid >= 0.0, pert, shade_n)
+            if has_rtex:
+                rtid = mr[15]
+                r_rgb = _tex_bilinear(
+                    texT, a_count, tex_res,
+                    jnp.clip(row(rtid), 0.0, tid_max), row(uv_u), row(uv_v),
+                    grid, row,
+                )
+                rough = (r_rgb[0] + r_rgb[1] + r_rgb[2]) / 3.0
+                params = (
+                    jnp.where(rtid >= 0.0, rough, params[0]),
+                    params[1], params[2], params[3],
+                )
 
         # --- emission at the hit, MIS vs NEE (path_step) ---
         wo = _vneg(d)
@@ -1467,9 +1634,12 @@ def _mega_kernel(
 def _wrap_mega(*refs, static):
     hier = static[19]
     has_tree = static[22]
+    tex_on = static[26]
     n_in = 13 if hier else 21  # 2 scalar + 5 ray + (3 hier | 14 dense) tables
     if has_tree:
         n_in += 2  # treeT, tlT
+    if tex_on:
+        n_in += 1  # texT
     ins, outs = refs[:n_in], refs[n_in : n_in + 6]
     scratch = refs[n_in + 6 :] if hier else None
     _mega_kernel(*ins, outs=outs, scratch=scratch, static=static)
@@ -1490,7 +1660,7 @@ def supported(scene) -> bool:
         and soa.padded <= MEGA_PRIM_LIMIT
         and _tree_ok(scene.lights.tree)
         and not scene.env_maps
-        and scene.tex_atlas.shape[0] == 0
+        and scene.tex_atlas.shape[0] <= MEGA_TEX_LIMIT
         and scene.camera.kind == PERSPECTIVE
         and scene.lights.num_lights <= MEGA_LIGHT_LIMIT
         and scene.emissive_pack.shape[0] <= MEGA_LIGHT_LIMIT
@@ -1510,8 +1680,8 @@ def unsupported_reason(scene) -> str | None:
         return "light tree deeper than 24"
     if scene.env_maps:
         return "environment map (importance sampling is wavefront-only)"
-    if scene.tex_atlas.shape[0] != 0:
-        return "texture atlas"
+    if scene.tex_atlas.shape[0] > MEGA_TEX_LIMIT:
+        return f"more than {MEGA_TEX_LIMIT} textures (one-hot fetch cost)"
     if scene.camera.kind != PERSPECTIVE:
         return "non-perspective camera"
     if (scene.lights.num_lights > MEGA_LIGHT_LIMIT
@@ -1539,7 +1709,7 @@ def supported_hier(scene) -> bool:
         and scene.instances is None
         and _tree_ok(scene.lights.tree)
         and not scene.env_maps
-        and scene.tex_atlas.shape[0] == 0
+        and scene.tex_atlas.shape[0] <= MEGA_TEX_LIMIT
         and scene.camera.kind == PERSPECTIVE
         and scene.lights.num_lights <= MEGA_LIGHT_LIMIT
         and scene.emissive_pack.shape[0] <= MEGA_LIGHT_LIMIT
@@ -1593,20 +1763,48 @@ def _build_tables(scene):
 
     sp = scene.shade_pack
     lt = scene.lights
+    tex_on = scene.tex_atlas.shape[0] > 0
     sp_rows = [permpad_col(sp[:, i]) for i in list(range(12)) + [18, 19, 20]]
     sp_rows.append(permpad_col(lt.prim_light.astype(F32), -1.0))
     prim_power = jnp.where(
         lt.prim_light >= 0, lt.power[jnp.maximum(lt.prim_light, 0)], 0.0
     )
     sp_rows.append(permpad_col(prim_power))
-    spT = jnp.stack(sp_rows, 0)  # (SP_ROWS, P)
+    if tex_on:
+        # rows 17..22: uv0/uv1/uv2 (shade_pack cols 12:18) for in-kernel
+        # barycentric texture coordinates — appended so the untextured
+        # table keeps its height (the sp one-hot lookup cost is O(rows))
+        sp_rows += [permpad_col(sp[:, i]) for i in range(12, 18)]
+    spT = jnp.stack(sp_rows, 0)  # (SP_ROWS[+6], P)
 
     mp = scene.mat_pack
     m_pad = _pad8(mp.shape[0])
+    mat_cols = [mp[:, 0:11], mp[:, 12:13]]
+    if tex_on:
+        # rows 12..15: albedo-texture id, normal-map id, normal intensity,
+        # roughness-texture id (mat_pack cols 11, 13, 14, 15)
+        mat_cols += [mp[:, 11:12], mp[:, 13:14], mp[:, 14:15], mp[:, 15:16]]
     matT = jnp.pad(
-        jnp.concatenate([mp[:, 0:11], mp[:, 12:13]], axis=1).T,
+        jnp.concatenate(mat_cols, axis=1).T,
         ((0, 0), (0, m_pad - mp.shape[0])),
-    )  # rows: albedo(3) params(4) extra(3) type one_sided
+    )  # rows: albedo(3) params(4) extra(3) type one_sided [tex ntex nint rtex]
+
+    if tex_on:
+        # texel table for in-kernel bilinear fetches: channel-major rows
+        # (row = c*R + x), texture-major cols (col = tex*R + y). Values
+        # are bf16-representable f32 (quantized once at prep), so the 0/1
+        # one-hot MXU fetch is EXACT at single-pass precision and matches
+        # scene_ops._sample_atlas texel-for-texel.
+        atlas = scene.tex_atlas[..., :3]  # (A, R, R, 3) [a, y, x, c]
+        a_count, tex_res = atlas.shape[0], atlas.shape[1]
+        # stored bf16: the values are bf16-representable (quantized at
+        # prep), so this is lossless and halves the table's VMEM footprint
+        texT = atlas.transpose(3, 2, 0, 1).reshape(
+            3 * tex_res, a_count * tex_res
+        ).astype(jnp.bfloat16)
+    else:
+        a_count = tex_res = 0
+        texT = jnp.zeros((0, 0), F32)
 
     n_lights = lt.num_lights
     l_pad = _pad8(n_lights)
@@ -1705,8 +1903,11 @@ def _build_tables(scene):
         has_amb=True,  # the ambient branch costs one uniform-sphere mapping
         has_tree=tree is not None, tree_depth=tree_depth,
         t_pad=t_pad, f_pad=f_pad,
+        tex_on=tex_on, tex_res=tex_res, a_count=a_count,
+        has_ntex=bool(tex_on and scene.materials.tex_flags[1]),
+        has_rtex=bool(tex_on and scene.materials.tex_flags[2]),
     )
-    return spT, matT, lightT, epackT, treeT, tlT, cam_row, static
+    return spT, matT, lightT, epackT, treeT, tlT, texT, cam_row, static
 
 
 def sample_frame_mega(
@@ -1739,7 +1940,8 @@ def sample_frame_mega(
     s0 = padto(jnp.asarray(sample_start, U32))
     valid = padto(jnp.ones((n,), F32), 0.0)
 
-    spT, matT, lightT, epackT, treeT, tlT, cam_row, tstatic = _build_tables(scene)
+    (spT, matT, lightT, epackT, treeT, tlT, texT, cam_row,
+     tstatic) = _build_tables(scene)
     seed_row = jnp.asarray(seed, U32).reshape(1)
     width, height = resolution
 
@@ -1770,6 +1972,9 @@ def sample_frame_mega(
     ) + hier_static + (
         tstatic["has_tree"], tstatic["tree_depth"],
         tstatic["t_pad"], tstatic["f_pad"],
+        # texture statics (appended so earlier positional reads stay put)
+        tstatic["tex_on"] and not hier, tstatic["tex_res"],
+        tstatic["a_count"], tstatic["has_ntex"], tstatic["has_rtex"],
     )
 
     ray_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -1811,6 +2016,9 @@ def sample_frame_mega(
         if tstatic["has_tree"]:
             in_specs = in_specs + [full(treeT), full(tlT)]
             inputs = inputs + (treeT, tlT)
+        if tstatic["tex_on"]:
+            in_specs = in_specs + [full(texT)]
+            inputs = inputs + (texT,)
         scratch_shapes = []
 
     outs = pl.pallas_call(
@@ -1822,6 +2030,9 @@ def sample_frame_mega(
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # textured scenes: the texel table + the sampler's (R, BR)
+            # weight planes exceed the default 16M scoped budget
+            vmem_limit_bytes=(100 * 1024 * 1024) if tstatic["tex_on"] else None,
         ),
         interpret=_interpret(),
     )(*inputs)

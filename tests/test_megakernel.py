@@ -118,3 +118,68 @@ def test_mega_hier_matches_dense():
     )
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-3, rtol=2e-3)
     np.testing.assert_allclose(np.asarray(b2), np.asarray(a2), atol=4e-2, rtol=2e-3)
+
+
+def _textured_scene():
+    """Small textured scene inside the megakernel envelope: procedural
+    albedo textures (cloud + gradient) on a plane and a box, plus an
+    untextured emissive — exercises the in-kernel bilinear fetch over the
+    shared quantized atlas (VERDICT r3 #4)."""
+    from echorenderer_tpu.scene import (
+        BoxEntity, Diffuse, Emissive, PerspectiveCamera, PlaneEntity, Scene,
+    )
+    from echorenderer_tpu.textures.grids import GradientTexture
+    from echorenderer_tpu.textures.procedural import CloudTexture
+
+    scene = Scene()
+    scene.add(PlaneEntity(
+        size=(10, 10),
+        material=Diffuse(albedo=CloudTexture(scale=4.0, seed=5)),
+    ))
+    scene.add(BoxEntity(
+        size=(1.5, 2.0, 1.5), position=(0, 1.0, 1.0),
+        material=Diffuse(albedo=GradientTexture(
+            start=(0.1, 0.2, 0.7), end=(0.9, 0.8, 0.3), axis=1)),
+    ))
+    scene.add(PlaneEntity(
+        size=(3, 3), material=Emissive(albedo=(12.0, 11.0, 10.0)),
+        position=(0, 6, 0), rotation=(180, 0, 0),
+    ))
+    cam = PerspectiveCamera(field_of_view=45.0, position=(0, 2.5, -6))
+    cam.look_at((0, 1, 0))
+    scene.add(cam)
+    return prepare_scene(scene)
+
+
+def test_mega_matches_wavefront_textured(same_intersector):
+    scene = _textured_scene()
+    assert scene.tex_atlas.shape[0] >= 2
+    assert supported(scene)  # textures no longer exclude the megakernel
+    _compare(scene)
+
+
+def test_mega_matches_wavefront_sphere_texture(same_intersector):
+    """Equirect sphere uv + texture fetch in-kernel (arccos/arctan2 path)."""
+    from echorenderer_tpu.scene import (
+        Diffuse, Emissive, PerspectiveCamera, PlaneEntity, Scene, SphereEntity,
+    )
+    from echorenderer_tpu.textures.grids import GradientTexture
+
+    scene = Scene()
+    scene.add(SphereEntity(
+        radius=1.0, position=(0, 1, 0),
+        material=Diffuse(albedo=GradientTexture(
+            start=(0.8, 0.1, 0.1), end=(0.1, 0.1, 0.8), axis=0)),
+    ))
+    scene.add(PlaneEntity(size=(8, 8), material=Diffuse(albedo=(0.6, 0.6, 0.6))))
+    scene.add(PlaneEntity(
+        size=(2, 2), material=Emissive(albedo=(15.0, 14.0, 13.0)),
+        position=(0, 5, 0), rotation=(180, 0, 0),
+    ))
+    cam = PerspectiveCamera(field_of_view=45.0, position=(0, 2, -5))
+    cam.look_at((0, 1, 0))
+    scene.add(cam)
+    prepared = prepare_scene(scene)
+    assert prepared.tex_atlas.shape[0] >= 1
+    assert supported(prepared)
+    _compare(prepared)
