@@ -1111,7 +1111,7 @@ def _mega_kernel(
      has_point, has_dir, has_amb, has_emissive, sp_pad,
      hier, hier_root, hier_nsub,
      has_tree, tree_depth, t_pad, f_pad,
-     tex_on, tex_res, a_count, has_ntex, has_rtex) = static
+     tex_on, tex_res, a_count, has_ntex, has_rtex, k_slots) = static
 
     if hier:
         # large-scene path: fat chunks streamed from HBM during the walk
@@ -1139,11 +1139,13 @@ def _mega_kernel(
     row = lambda x: x.reshape(1, RAY_BLOCK)
     grid = lambda r: r.reshape(S)
 
-    pid = pid_ref[:]
-    pxf = pxf_ref[:]
-    pyf = pyf_ref[:]
-    s0 = s0_ref[:]
-    valid = valid_ref[:]
+    K = k_slots
+    slot_row = lambda ref, j: ref[:, j].reshape(S)
+    pid_j = [slot_row(pid_ref, j) for j in range(K)]
+    pxf_j = [slot_row(pxf_ref, j) for j in range(K)]
+    pyf_j = [slot_row(pyf_ref, j) for j in range(K)]
+    s0_j = [slot_row(s0_ref, j) for j in range(K)]
+    valid_j = [slot_row(valid_ref, j) for j in range(K)]
     seed = seed_ref[0]
 
     pos = (cam_ref[C_POS], cam_ref[C_POS + 1], cam_ref[C_POS + 2])
@@ -1161,12 +1163,12 @@ def _mega_kernel(
     size_r = np.float32(1.0) / np.float32(width)
     aspect_y = np.float32(height) / np.float32(width)
 
-    def stream_for(sample_rel):
+    def stream_for(sample_rel, pid, s0):
         return SampleStream(pixel_id=pid, sample_id=s0 + sample_rel, seed=seed)
 
-    def spawn(sample_rel):
+    def spawn(sample_rel, pid, pxf, pyf, s0):
         """Mirror of scene/cameras.spawn_rays (PERSPECTIVE incl. DoF)."""
-        s = stream_for(sample_rel)
+        s = stream_for(sample_rel, pid, s0)
         sx, sy = s.next_2d_parts(0)
         lx, ly = s.next_2d_parts(1)
         x = (pxf + sx) * size_r - 0.5
@@ -1198,13 +1200,18 @@ def _mega_kernel(
     one = jnp.ones(S, F32)
     zero_u = jnp.zeros(S, U32)
 
-    o0, d0 = spawn(zero_u)
+    o0, d0 = spawn(zero_u, pid_j[0], pxf_j[0], pyf_j[0], s0_j[0])
 
+    # K-slot regeneration (r4): each lane serves K pixels back to back, so
+    # the per-block tail (the wait for the slowest lane's total work) is
+    # averaged over K pixels' path-length sums — at spp=64 the max-lane
+    # tail was ~20-30% of block iterations. Identity (pid/pxy/s0) rides in
+    # state and switches rows when a slot's sample budget completes.
     state = (
-        (zero, zero, zero),  # s_sum
-        (zero, zero, zero),  # s_sq
-        zero_u,              # sample (relative)
-        1.0 - valid,         # lane_done f32 (padded lanes start done)
+        tuple((zero, zero, zero) for _ in range(K)),  # s_sum per slot
+        tuple((zero, zero, zero) for _ in range(K)),  # s_sq per slot
+        zero_u,              # sample (relative, within the current slot)
+        1.0 - valid_j[0],    # lane_done f32 (padded lanes start done)
         (zero, zero, zero),  # radiance
         (one, one, one),     # throughput
         o0, d0,
@@ -1213,6 +1220,8 @@ def _mega_kernel(
         one,                 # prev_specular f32
         o0,                  # prev_point
         -one,                # ignore (sorted prim id, f32)
+        zero,                # slot (f32 0..K-1)
+        pid_j[0], pxf_j[0], pyf_j[0], s0_j[0],  # current-slot identity
     )
 
     def cond(st):
@@ -1220,9 +1229,10 @@ def _mega_kernel(
 
     def body(st):
         (s_sum, s_sq, sample, lane_done, radiance, throughput, o, d,
-         depth, prev_pdf, prev_spec, prev_point, ignore) = st
+         depth, prev_pdf, prev_spec, prev_point, ignore,
+         slot_f, pid, pxf, pyf, s0) = st
         live = lane_done < 0.5
-        stream = stream_for(sample)
+        stream = stream_for(sample, pid, s0)
 
         # --- trace the pending ray (path_step 'advance') ---
         seg_t = jnp.where(live, _INF, 0.0)
@@ -1597,17 +1607,56 @@ def _mega_kernel(
         rad_total = radiance[0] + radiance[1] + radiance[2]
         finite = jnp.isfinite(rad_total)
         bank = path_done & finite
-        s_sum = tuple(s_sum[k] + jnp.where(bank, radiance[k], 0.0) for k in range(3))
+        s_sum = tuple(
+            tuple(
+                s_sum[j][k]
+                + jnp.where(bank & (slot_f == float(j)), radiance[k], 0.0)
+                for k in range(3)
+            )
+            for j in range(K)
+        )
         s_sq = tuple(
-            s_sq[k] + jnp.where(bank, radiance[k] * radiance[k], 0.0) for k in range(3)
+            tuple(
+                s_sq[j][k]
+                + jnp.where(
+                    bank & (slot_f == float(j)),
+                    radiance[k] * radiance[k], 0.0,
+                )
+                for k in range(3)
+            )
+            for j in range(K)
         )
         next_sample = sample + path_done.astype(U32)
-        lane_done = jnp.maximum(
-            lane_done, (path_done & (next_sample >= U32(count))).astype(F32)
-        )
+        slot_done = path_done & (next_sample >= U32(count))
+        if K > 1:
+            # roll the lane onto its next pixel slot; tail padding lives
+            # only in the trailing slots (slot-major layout), so a switch
+            # to an invalid slot ends the lane
+            new_slot = slot_f + slot_done.astype(F32)
+            switch = slot_done & (new_slot < float(K))
+            pid_n, pxf_n, pyf_n, s0_n = pid, pxf, pyf, s0
+            valid_n = jnp.ones_like(slot_f)
+            for j in range(1, K):
+                sel = switch & (new_slot == float(j))
+                pid_n = jnp.where(sel, pid_j[j], pid_n)
+                pxf_n = jnp.where(sel, pxf_j[j], pxf_n)
+                pyf_n = jnp.where(sel, pyf_j[j], pyf_n)
+                s0_n = jnp.where(sel, s0_j[j], s0_n)
+                valid_n = jnp.where(sel, valid_j[j], valid_n)
+            lane_done = jnp.maximum(
+                lane_done,
+                jnp.where(
+                    slot_done & (~switch | (valid_n < 0.5)), 1.0, 0.0
+                ),
+            )
+            next_sample = jnp.where(switch, U32(0), next_sample)
+            slot_f = new_slot
+        else:
+            pid_n, pxf_n, pyf_n, s0_n = pid, pxf, pyf, s0
+            lane_done = jnp.maximum(lane_done, slot_done.astype(F32))
         respawn = path_done & ~(lane_done > 0.5)
 
-        cam_o, cam_d = spawn(next_sample)
+        cam_o, cam_d = spawn(next_sample, pid_n, pxf_n, pyf_n, s0_n)
         new_radiance = _vwhere(respawn, _vzero(zero), radiance)
         new_throughput = _vwhere(respawn, (one, one, one), new_tp)
         new_o = _vwhere(respawn, cam_o, cont_o)
@@ -1622,13 +1671,15 @@ def _mega_kernel(
             s_sum, s_sq, next_sample, lane_done, new_radiance, new_throughput,
             new_o, new_d, new_depth, new_prev_pdf, new_prev_spec,
             new_prev_point, new_ignore,
+            slot_f, pid_n, pxf_n, pyf_n, s0_n,
         )
 
     state = jax.lax.while_loop(cond, body, state)
     s_sum, s_sq = state[0], state[1]
     for k in range(3):
-        outs[k][:] = s_sum[k]
-        outs[3 + k][:] = s_sq[k]
+        for j in range(K):
+            outs[k][0, j] = s_sum[j][k].reshape(8, 128)
+            outs[3 + k][0, j] = s_sq[j][k].reshape(8, 128)
 
 
 def _wrap_mega(*refs, static):
@@ -1922,17 +1973,37 @@ def sample_frame_mega(
     bounce_limit: int = 16,
     survivability: float = 2.5,
     hier: bool = False,
+    k_slots: int | None = None,
 ):
     """Drop-in replacement for evaluation/wavefront.sample_frame_wavefront
-    (same contract: per-lane (sum, sum_sq) of `count` samples)."""
+    (same contract: per-lane (sum, sum_sq) of `count` samples).
+
+    `k_slots`: pixels served per lane back to back (None = auto). Serving
+    K pixels per lane averages the per-block regeneration tail (the wait
+    for the slowest lane) over K path-length sums — at spp=64 the tail
+    was ~20-30%% of block iterations. Per-pixel streams and sums are
+    bitwise unchanged (identity switches slots, draws key on pixel)."""
     n = pixel_id.shape[0]
-    g = -(-n // RAY_BLOCK)
-    pad = g * RAY_BLOCK - n
+    if k_slots is None:
+        # r4 sweep on the 80-sphere bench (960x540 @ 64spp): K=4 -> 37.6,
+        # K=8 -> 40.3, K=16 -> 42.4, K=32 -> 43.3 Mspps (plateau; K=64
+        # flat), from 34.1 at K=1. Small waves keep K=1.
+        if hier or n < 64 * RAY_BLOCK:
+            k_slots = 1
+        else:
+            k_slots = max(1, min(32, n // (RAY_BLOCK * 4)))
+    K = k_slots
+    g = -(-n // (RAY_BLOCK * K))
+    pad = g * RAY_BLOCK * K - n
 
     def padto(x, fill=0):
         x = jnp.asarray(x)
         x = jnp.broadcast_to(x, (n,))
-        return jnp.pad(x, (0, pad), constant_values=fill).reshape(g, 8, 128)
+        # slot-major: slot j covers pixels [j*g*1024, (j+1)*g*1024) so the
+        # padding tail occupies only the trailing slots of the last blocks
+        return jnp.pad(x, (0, pad), constant_values=fill).reshape(
+            K, g, 8, 128
+        ).transpose(1, 0, 2, 3)
 
     pid = padto(pixel_id.astype(U32))
     pxf = padto(pixel_xy[:, 0].astype(F32))
@@ -1975,9 +2046,12 @@ def sample_frame_mega(
         # texture statics (appended so earlier positional reads stay put)
         tstatic["tex_on"] and not hier, tstatic["tex_res"],
         tstatic["a_count"], tstatic["has_ntex"], tstatic["has_rtex"],
+        K,
     )
 
-    ray_spec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec(
+        (1, K, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
     smem = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.SMEM)
 
@@ -2026,7 +2100,7 @@ def sample_frame_mega(
         grid=(g,),
         in_specs=in_specs,
         out_specs=[ray_spec] * 6,
-        out_shape=[jax.ShapeDtypeStruct((g, 8, 128), F32)] * 6,
+        out_shape=[jax.ShapeDtypeStruct((g, K, 8, 128), F32)] * 6,
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -2037,7 +2111,7 @@ def sample_frame_mega(
         interpret=_interpret(),
     )(*inputs)
 
-    flat = [o.reshape(-1)[:n] for o in outs]
+    flat = [o.transpose(1, 0, 2, 3).reshape(-1)[:n] for o in outs]
     s_sum = jnp.stack(flat[0:3], axis=-1)
     s_sq = jnp.stack(flat[3:6], axis=-1)
     return s_sum, s_sq

@@ -183,3 +183,28 @@ def test_mega_matches_wavefront_sphere_texture(same_intersector):
     assert prepared.tex_atlas.shape[0] >= 1
     assert supported(prepared)
     _compare(prepared)
+
+
+def test_mega_k_slots_parity(same_intersector):
+    """K-slot regeneration (each lane serves K pixels back to back to
+    average the per-block tail) must leave per-pixel sums unchanged:
+    identity switches slots, draws key on (pixel, sample, dim)."""
+    scene = prepare_scene(scenes.sphere_field(12))
+    n = 2048
+    res = (64, 32)
+    pixel_id = jnp.arange(n, dtype=jnp.uint32)
+    pixel_xy = jnp.stack(
+        [(pixel_id % res[0]).astype(jnp.int32),
+         (pixel_id // res[0]).astype(jnp.int32)], -1)
+    kw = dict(bounce_limit=3, survivability=2.5)
+    a, a2 = sample_frame_mega(
+        scene, pixel_id, pixel_xy, res, 7, jnp.uint32(0), 2, k_slots=1, **kw)
+    b, b2 = sample_frame_mega(
+        scene, pixel_id, pixel_xy, res, 7, jnp.uint32(0), 2, k_slots=2, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
+    # and an uneven split exercising the switch-to-padding end condition
+    c, _ = sample_frame_mega(
+        scene, pixel_id[:1500], pixel_xy[:1500], res, 7, jnp.uint32(0), 2,
+        k_slots=2, **kw)
+    np.testing.assert_array_equal(np.asarray(a)[:1500], np.asarray(c))
