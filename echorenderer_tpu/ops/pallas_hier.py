@@ -127,6 +127,24 @@ def _tree_depth(child_code: np.ndarray, root: int) -> int:
     return depth
 
 
+@functools.partial(jax.jit, static_argnames=("pad", "n_chunks"))
+def _pack_chunk_rows(a, b, c, is_sph, *, pad, n_chunks):
+    """One fused device program for the (C, 16, HCHUNK) chunk tensor —
+    the eager .at[].set chain cost one full-tensor materialization plus a
+    tunnel dispatch PER op (profiled r4)."""
+    p = a.shape[0]
+    fill = jnp.zeros((16, pad), jnp.float32)
+    # padded v0 far away, e1=e2=0 -> det=0 -> invalid
+    fill = fill.at[0:3, :].set(1e30)
+    rows = (
+        fill.at[0:3, :p].set(a.T)
+        .at[3:6, :p].set(b.T)
+        .at[6:9, :p].set(c.T)
+        .at[9, :p].set(is_sph)
+    )
+    return rows.reshape(16, n_chunks, HCHUNK).transpose(1, 0, 2)
+
+
 def _pack_chunks(geom: FlatGeometry, order: np.ndarray, packed=None):
     """Pack prims (already permuted into `order`) into (C, 16, HCHUNK)
     chunk tensors plus per-chunk AABBs. Returns (prim_chunks, clo, chi);
@@ -142,16 +160,10 @@ def _pack_chunks(geom: FlatGeometry, order: np.ndarray, packed=None):
     pad = -(-max(p, 1) // HCHUNK) * HCHUNK
     n_chunks = pad // HCHUNK
 
-    fill = jnp.zeros((16, pad), jnp.float32)
-    # padded v0 far away, e1=e2=0 -> det 0 -> invalid
-    fill = fill.at[0:3, :].set(1e30)
-    rows = (
-        fill.at[0:3, :p].set(jnp.asarray(a).T)
-        .at[3:6, :p].set(jnp.asarray(b).T)
-        .at[6:9, :p].set(jnp.asarray(c).T)
-        .at[9, :p].set(jnp.asarray(is_sph))
+    prim_chunks = _pack_chunk_rows(
+        np.ascontiguousarray(a), np.ascontiguousarray(b),
+        np.ascontiguousarray(c), is_sph, pad=pad, n_chunks=n_chunks,
     )
-    prim_chunks = rows.reshape(16, n_chunks, HCHUNK).transpose(1, 0, 2)
 
     nfull = p // HCHUNK
     clo = np.full((n_chunks, 3), 1e30, np.float32)

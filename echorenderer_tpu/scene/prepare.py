@@ -14,6 +14,7 @@ Aggregation/Preparation/PreparedPack.cs, PreparedScene.cs, LightCollection.cs):
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -307,17 +308,55 @@ def build_material_arrays(materials):
     return mtypes, malbedo, mparams, mextra, mone, mtex, mntex, mnint, mrtex, tex_atlas
 
 
+@functools.partial(jax.jit, static_argnames=("num_prims", "num_tris"))
+def _assemble_shade(tri_rows, sph_rows, *, num_prims, num_tris):
+    """One fused device program for the (P, 24) shade_pack layout."""
+    shade = jnp.zeros((num_prims, 24), jnp.float32)
+    if num_tris:
+        gn, n0, n1, n2, uv0, uv1, uv2, tmat, area = tri_rows
+        shade = (
+            shade.at[:num_tris, 0:3].set(gn)
+            .at[:num_tris, 3:6].set(n0)
+            .at[:num_tris, 6:9].set(n1)
+            .at[:num_tris, 9:12].set(n2)
+            .at[:num_tris, 12:14].set(uv0)
+            .at[:num_tris, 14:16].set(uv1)
+            .at[:num_tris, 16:18].set(uv2)
+            .at[:num_tris, 18].set(tmat)
+            .at[:num_tris, 19].set(area)
+        )
+    if num_prims > num_tris:
+        c, r, m = sph_rows
+        shade = (
+            shade.at[num_tris:, 0:3].set(c)
+            .at[num_tris:, 3].set(r)
+            .at[num_tris:, 18].set(m)
+            .at[num_tris:, 19].set(4.0 * np.pi * r * r)
+            .at[num_tris:, 20].set(1.0)
+        )
+    return shade
+
+
 def assemble_triangles(tri_v, tri_f, tri_n, tri_uv, tri_m):
     """Indexed triangle lists -> flat per-face arrays
     (v0, e1, e2, n0, n1, n2, uv0, uv1, uv2, tmat)."""
-    verts = np.concatenate(tri_v, 0)
+    # f32 from the start: the renderer is f32 end to end, and this host is
+    # first-touch page-fault bound (~10-25 MB/s — r3 profile), so the f64
+    # vertex temporaries roughly doubled assembly time at 1M tris
+    verts = np.concatenate([np.asarray(v, np.float32) for v in tri_v], 0)
     faces = np.concatenate(tri_f, 0)
     # per-vertex normals/uvs with per-chunk fallbacks
     norms = []
     uvs = []
     for v, n, u in zip(tri_v, tri_n, tri_uv):
-        norms.append(np.zeros((len(v), 3), np.float32) if n is None else n)
-        uvs.append(np.zeros((len(v), 2), np.float32) if u is None else u)
+        norms.append(
+            np.zeros((len(v), 3), np.float32)
+            if n is None else np.asarray(n, np.float32)
+        )
+        uvs.append(
+            np.zeros((len(v), 2), np.float32)
+            if u is None else np.asarray(u, np.float32)
+        )
     vn = np.concatenate(norms, 0)
     vuv = np.concatenate(uvs, 0)
     v0 = verts[faces[:, 0]]
@@ -697,31 +736,25 @@ def prepare_scene(
         ),
     )
     # --- packed shading rows (single-gather interact) ---
-    # assembled ON DEVICE: the (P, 24) host buffer alone cost ~10 s of
-    # first-touch page faults at 1M prims (profiled r3)
-    dev = jnp.asarray
-    shade = jnp.zeros((num_prims, 24), jnp.float32)
-    shade = (
-        shade.at[:num_tris, 0:3].set(dev(geo_normal.astype(np.float32)))
-        .at[:num_tris, 3:6].set(dev(geom_np["tri_n0"]))
-        .at[:num_tris, 6:9].set(dev(geom_np["tri_n1"]))
-        .at[:num_tris, 9:12].set(dev(geom_np["tri_n2"]))
-        .at[:num_tris, 12:14].set(dev(geom_np["tri_uv0"]))
-        .at[:num_tris, 14:16].set(dev(geom_np["tri_uv1"]))
-        .at[:num_tris, 16:18].set(dev(geom_np["tri_uv2"]))
-        .at[:num_tris, 18].set(dev(geom_np["tri_mat"].astype(np.float32)))
-        .at[:num_tris, 19].set(dev((0.5 * tri_area2).astype(np.float32)))
+    # assembled ON DEVICE and inside ONE jitted program: the (P, 24) host
+    # buffer alone cost ~10 s of first-touch page faults at 1M prims
+    # (profiled r3), and the EAGER .at[].set chain cost ~5 s of
+    # per-op tunnel dispatches each materializing the 96 MB array
+    # (profiled r4) — fused, it is one compile-cached program
+    shade = _assemble_shade(
+        (
+            geo_normal.astype(np.float32), geom_np["tri_n0"],
+            geom_np["tri_n1"], geom_np["tri_n2"], geom_np["tri_uv0"],
+            geom_np["tri_uv1"], geom_np["tri_uv2"],
+            geom_np["tri_mat"].astype(np.float32),
+            (0.5 * tri_area2).astype(np.float32),
+        ),
+        (
+            geom_np["sph_center"], geom_np["sph_radius"],
+            geom_np["sph_mat"].astype(np.float32),
+        ),
+        num_prims=num_prims, num_tris=num_tris,
     )
-    if num_prims > num_tris:
-        shade = (
-            shade.at[num_tris:, 0:3].set(dev(geom_np["sph_center"]))
-            .at[num_tris:, 3].set(dev(geom_np["sph_radius"]))
-            .at[num_tris:, 18].set(dev(geom_np["sph_mat"].astype(np.float32)))
-            .at[num_tris:, 19].set(
-                dev(4.0 * np.pi * geom_np["sph_radius"] ** 2)
-            )
-            .at[num_tris:, 20].set(1.0)
-        )
 
     mat_pack = np.zeros((len(materials), 16), np.float32)
     mat_pack[:, 0:3] = malbedo
