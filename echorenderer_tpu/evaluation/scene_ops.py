@@ -76,13 +76,17 @@ def _use_pallas(scene) -> bool:
     )
 
 
-def dispatch_summary(scene) -> dict:
+def dispatch_summary(scene, *, enable_nee: bool = True,
+                     enable_fwd_mis: bool = True,
+                     return_stats: bool = False) -> dict:
     """Which accelerator + integrator path this scene's renders will take,
     with the reason — logged once per render layer and published in the
     dashboard stats, so a scene silently falling off a fast path (e.g.
     gaining an env map and losing the megakernel) is diagnosable
     (VERDICT r3 weak #6). Mirrors the dispatch rules in trace()/occlude()
-    and wavefront.sample_frame_wavefront exactly."""
+    and wavefront.sample_frame_wavefront exactly, including the NEE/MIS/
+    stats flags and the ECHO_MEGA_HIER gate that route ablation renders
+    off the megakernel (ADVICE r4 #3)."""
     import os
 
     from ..ops import megakernel
@@ -112,14 +116,19 @@ def dispatch_summary(scene) -> dict:
     else:
         acc, why = "bvh-lockstep", "no TPU / dense tables unavailable"
 
-    if jax.default_backend() == "tpu" and megakernel.supported(scene):
+    mega_flags = enable_nee and enable_fwd_mis and not return_stats
+    if jax.default_backend() != "tpu":
+        integ, iwhy = "wavefront", "not on TPU"
+    elif not mega_flags:
+        integ = "wavefront"
+        iwhy = "NEE/MIS ablation or stats render (megakernel bypassed)"
+    elif megakernel.supported(scene):
         integ, iwhy = "megakernel", "fully fused trace+shade"
+    elif megakernel.supported_hier(scene) and os.environ.get("ECHO_MEGA_HIER"):
+        integ, iwhy = "megakernel-hier", "ECHO_MEGA_HIER fat-chunk kernel"
     else:
         integ = "wavefront"
-        iwhy = (
-            megakernel.unsupported_reason(scene) or "not on TPU"
-            if jax.default_backend() == "tpu" else "not on TPU"
-        )
+        iwhy = megakernel.unsupported_reason(scene) or "outside megakernel envelope"
     return {
         "accelerator": acc, "accelerator_reason": why,
         "integrator": integ, "integrator_reason": iwhy,

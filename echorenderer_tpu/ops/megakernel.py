@@ -1750,7 +1750,10 @@ def _tree_ok(tree) -> bool:
 def supported_hier(scene) -> bool:
     """Applicability of the large-scene (fat-chunk) megakernel: any scene
     with hierarchical tables and megakernel-compatible lights/camera.
-    Instanced scenes stay on the XLA wavefront for now."""
+    Instanced scenes stay on the XLA wavefront for now. Textured scenes
+    are EXCLUDED: the hier kernel has no texture stage yet, and admitting
+    them would silently render untextured instead of falling back to the
+    wavefront (ADVICE r4 #1)."""
     from ..scene.cameras import PERSPECTIVE
 
     soa = scene.hier_soa
@@ -1760,7 +1763,7 @@ def supported_hier(scene) -> bool:
         and scene.instances is None
         and _tree_ok(scene.lights.tree)
         and not scene.env_maps
-        and scene.tex_atlas.shape[0] <= MEGA_TEX_LIMIT
+        and scene.tex_atlas.shape[0] == 0
         and scene.camera.kind == PERSPECTIVE
         and scene.lights.num_lights <= MEGA_LIGHT_LIMIT
         and scene.emissive_pack.shape[0] <= MEGA_LIGHT_LIMIT

@@ -401,14 +401,14 @@ def build_hier_soa_instanced(
         w[:cnt, 0:3] = wlo
         w[:cnt, 3:6] = whi
         wcb_parts.append(w)
-    if n_inst:
+    if n_inst and sum(p.shape[0] for p in g2c_parts) <= 1 << 20:
         binned_g2c = np.concatenate(g2c_parts)
         binned_g2i = np.concatenate(g2i_parts)
         binned_wcb = np.concatenate(wcb_parts, axis=0)
-        assert binned_g2c.shape[0] <= 1 << 20, (
-            "instanced binned traversal: > 2^20 global chunks "
-            "(chunk-key id field would overflow)")
     else:
+        # > 2^20 global virtual chunks would overflow the chunk-key id
+        # field — leave the binned tables empty so dispatch falls back to
+        # the packet TLAS walk instead of crashing prep (ADVICE r4 #2)
         binned_g2c = np.zeros((0,), np.int32)
         binned_g2i = np.zeros((0,), np.int32)
         binned_wcb = np.zeros((0, 6), np.float32)
