@@ -129,9 +129,59 @@ def bench_large_scene():
     }), flush=True)
 
 
+def bench_adaptive_large():
+    """BASELINE.json's stated headline: time-to-256spp-equivalent at
+    1920x1080 with the PRODUCTION adaptive loop (noise-thresholded
+    per-pixel epochs, processes/render.py:_adaptive_epochs) on the 1M-tri
+    scene. Every pixel samples until its Welford noise drops below the
+    reference's default 0.045 threshold or it reaches the 256-spp budget —
+    the reference's own adaptive methodology (misc/performance.txt:28:
+    adaptive cut 44% of wall time, visually identical). vs_baseline is the
+    effective-SPPS speedup over the CPU reference's sustained adaptive
+    6.82 M SPPS on its 900k-tri scene (misc/performance.txt:30-31)."""
+    import sys
+
+    sys.path.insert(0, "benchmarks")
+    from scene_throughput import build_scene
+
+    from echorenderer_tpu.processes.render import (
+        EvaluationProfile,
+        render_layer,
+    )
+    from echorenderer_tpu.scene.prepare import prepare_scene
+
+    raw = build_scene(1_000_000)
+    scene = prepare_scene(raw)
+    resolution = (1920, 1080)
+    profile = EvaluationProfile(
+        evaluator="path",
+        samples_per_epoch=8,
+        min_epoch=1,
+        max_epoch=32,  # 8 * 32 = 256 spp per-pixel budget
+        noise_threshold=0.045,  # reference EvaluationProfile.cs default
+        bounce_limit=6,
+        adaptive=True,
+    )
+    img, info = render_layer(scene, profile, resolution, seed=0)
+    _sync(img[:2, :2])
+    n_px = resolution[0] * resolution[1]
+    spps = info["samples_per_second"]
+    print(json.dumps({
+        "metric": "large_scene_adaptive_time_to_256spp_seconds",
+        "value": round(info["seconds"], 2),
+        "unit": "seconds",
+        "vs_baseline": round(spps / BASELINE_LARGE_SPPS, 4),
+        "effective_Mspps": round(spps / 1e6, 4),
+        "total_samples_M": round(info["samples"] / 1e6, 1),
+        "mean_spp": round(info["samples"] / n_px, 1),
+        "epochs": info["epochs"],
+    }), flush=True)
+
+
 def main():
     bench_sphere_field()
     bench_large_scene()
+    bench_adaptive_large()
 
 
 if __name__ == "__main__":

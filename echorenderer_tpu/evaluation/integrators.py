@@ -215,7 +215,7 @@ def path_trace(
     origin,
     direction,
     *,
-    bounce_limit: int = 16,
+    bounce_limit: int = 128,
     survivability: float = 2.5,
 ):
     """Estimate radiance along camera rays: the lockstep integrator — all

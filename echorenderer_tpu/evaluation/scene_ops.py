@@ -390,23 +390,43 @@ def emission_at(scene: PreparedScene, contact: Contact, wo) -> jax.Array:
 
 
 def eval_infinite(scene: PreparedScene, d, directly_visible_only: bool) -> jax.Array:
-    """Total infinite-light radiance along direction d
-    (reference PreparedScene.EvaluateInfinite)."""
+    """Total infinite-light radiance along direction d, summed over the
+    constant ambient aggregate and every textured env light, each with its
+    own rotation/intensity/visibility (reference
+    PreparedScene.EvaluateInfinite folding each InfiniteLight.Evaluate)."""
     lt = scene.lights
     base = lt.ambient_camera if directly_visible_only else lt.ambient_all
     out = jnp.broadcast_to(base, d.shape)
-    if len(scene.env_maps):
-        local = d @ lt.env_rotation.T
-        out = out + scene.env_maps[0].evaluate(local)
+    for e, env in enumerate(scene.env_maps):
+        local = d @ lt.env_rotation[e].T
+        rad = env.evaluate(local) * lt.env_scale[e]
+        if directly_visible_only:
+            rad = rad * lt.env_camera[e]
+        out = out + rad
     return out
 
 
 def env_pdf(scene: PreparedScene, d) -> jax.Array:
-    """Solid-angle pdf of ambient-light direction sampling."""
-    if len(scene.env_maps):
-        local = d @ scene.lights.env_rotation.T
+    """Solid-angle pdf of ambient-light direction sampling: the
+    power-weighted mixture over all LIGHT_AMBIENT records (each env map
+    plus the constant-uniform record when present). Multiplying by the
+    total ambient pick probability reproduces sum_r pmf_r * pdf_r(d) —
+    the forward-MIS density of the two-stage pick+sample process."""
+    lt = scene.lights
+    E = len(scene.env_maps)
+    if E == 0:
+        return jnp.full(d.shape[:-1], 1.0 / (4.0 * jnp.pi))
+    if E == 1 and lt.amb_const_power.shape[0] == 0:
+        # single-env scenes: exact legacy arithmetic (bitwise-stable)
+        local = d @ lt.env_rotation[0].T
         return scene.env_maps[0].pdf(local)
-    return jnp.full(d.shape[:-1], 1.0 / (4.0 * jnp.pi))
+    total = jnp.sum(lt.env_power) + jnp.sum(lt.amb_const_power)
+    acc = jnp.sum(lt.amb_const_power) * (1.0 / (4.0 * jnp.pi))
+    acc = jnp.broadcast_to(acc, d.shape[:-1])
+    for e, env in enumerate(scene.env_maps):
+        local = d @ lt.env_rotation[e].T
+        acc = acc + lt.env_power[e] * env.pdf(local)
+    return acc / jnp.maximum(total, 1e-20)
 
 
 class LightSample(NamedTuple):
@@ -518,11 +538,37 @@ def sample_light(scene: PreparedScene, record, x, u2) -> LightSample:
         wi_d = jnp.zeros_like(x)
         rad_d = jnp.zeros_like(x)
 
-    # --- ambient (uniform or env-importance sampled) ---
-    if len(scene.env_maps):
+    # --- ambient: the picked record (env map e or the constant aggregate)
+    # supplies the DIRECTION; the returned radiance is the TOTAL infinite
+    # radiance along it (every env light is visible along any direction)
+    # and the returned pdf is the ambient MIXTURE density rescaled so that
+    # pick_pmf * pdf == p_ambient * mixture(d) regardless of which record
+    # was picked. That makes the NEE density identical to the forward-hit
+    # density (amb_pmf * env_pdf) — the power-heuristic pair sums to 1 and
+    # multi-env MIS stays unbiased (tests/test_multi_env.py). ---
+    E = len(scene.env_maps)
+    if E == 1 and lt.amb_const_power.shape[0] == 0:
+        # single-env scenes: exact legacy arithmetic (bitwise-stable)
         local_dir, amb_pdf = scene.env_maps[0].sample(u2)
-        wi_a = local_dir @ lt.env_rotation  # env-local -> world
-        rad_a = lt.ambient_all + scene.env_maps[0].evaluate(local_dir)
+        wi_a = local_dir @ lt.env_rotation[0]  # env-local -> world
+        rad_a = lt.ambient_all + scene.env_maps[0].evaluate(local_dir) * lt.env_scale[0]
+    elif E:
+        wi_a = jnp.zeros_like(x)
+        for e, env in enumerate(scene.env_maps):
+            local_dir, _ = env.sample(u2)
+            wi_e_ = local_dir @ lt.env_rotation[e]  # env-local -> world
+            wi_a = jnp.where((index == e)[..., None], wi_e_, wi_a)
+        w_amb = jnp.concatenate([lt.env_power, lt.amb_const_power])
+        if lt.amb_const_power.shape[0]:
+            u_dir = rng_mod.uniform_sphere(u2)
+            wi_a = jnp.where((index >= E)[..., None], u_dir, wi_a)
+        # record's within-ambient pick fraction (index E = the constant)
+        frac = vec.small_table_lookup(
+            w_amb / jnp.maximum(jnp.sum(w_amb), 1e-20),
+            jnp.clip(index, 0, w_amb.shape[0] - 1),
+        )
+        amb_pdf = env_pdf(scene, wi_a) / jnp.maximum(frac, 1e-20)
+        rad_a = eval_infinite(scene, wi_a, False)
     else:
         wi_a = rng_mod.uniform_sphere(u2)
         amb_pdf = jnp.full(n, 1.0 / (4.0 * jnp.pi))

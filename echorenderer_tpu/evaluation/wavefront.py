@@ -46,7 +46,7 @@ def sample_frame_wavefront(
     sample_start,
     count: int,
     *,
-    bounce_limit: int = 16,
+    bounce_limit: int = 128,
     survivability: float = 2.5,
     enable_nee: bool = True,
     enable_fwd_mis: bool = True,

@@ -1973,7 +1973,7 @@ def sample_frame_mega(
     sample_start,
     count: int,
     *,
-    bounce_limit: int = 16,
+    bounce_limit: int = 128,
     survivability: float = 2.5,
     hier: bool = False,
     k_slots: int | None = None,

@@ -55,7 +55,7 @@ def shard_pixels(n_pixels: int, n_shards: int) -> int:
 
 
 def _sample_pixels(scene, pixel_id, px, py, seed, sample_start, count, resolution,
-                   evaluator="path", bounce_limit=16, survivability=2.5):
+                   evaluator="path", bounce_limit=128, survivability=2.5):
     """Accumulate `count` samples for the given pixel lanes. Pure SPMD body:
     identical math on every shard, no cross-chip communication."""
     from ..processes.render import AOV_CHANNELS, EVALUATORS

@@ -91,18 +91,52 @@ class TextureManage:
 
 @dataclasses.dataclass
 class AutoExposure:
-    """Scale so the log-average luminance maps to `target` (the histogram
-    exposure of the reference AutoExposure.cs, computed in closed form)."""
+    """Center-weighted percentile-trimmed log-luminance exposure
+    (reference AutoExposure.cs:52-120): each pixel's log luminance is
+    weighted by (1 - EaseOutSmooth(2*dist_from_center)) * center_weight + 1,
+    the weighted distribution is trimmed to the
+    [percent_lower, 1 - percent_upper] mass band (the reference builds a
+    128-bin histogram; here ONE weighted 2-op sort + cumsum gives the
+    un-quantized equivalent), and exposure maps the trimmed average to
+    `average_luminance`."""
 
     layer: str = "main"
-    target: float = 0.18
+    center_weight: float = 1.0
+    percent_lower: float = 0.55
+    percent_upper: float = 0.03
+    average_luminance: float = 0.45
     clamp: tuple = (0.03125, 32.0)
 
     def apply(self, layers):
         img = layers[self.layer]
+        h, w = img.shape[0], img.shape[1]
         lum = colors.luminance(img)
-        log_avg = jnp.exp(jnp.mean(jnp.log(jnp.maximum(lum, 1e-6))))
-        scale = jnp.clip(self.target / jnp.maximum(log_avg, 1e-8), *self.clamp)
+        log_lum = jnp.log2(jnp.maximum(lum, 1e-6))
+        # center weight map (reference MainPass: uv distance from center *2)
+        v = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h - 0.5
+        u = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w - 0.5
+        dist = jnp.sqrt(u[None, :] ** 2 + v[:, None] ** 2) * 2.0
+        s = jnp.clip(dist, 0.0, 1.0)
+        sig = 3.0 * s * s - 2.0 * s * s * s  # Curves.Sigmoid
+        ease_out = sig * (2.0 - sig)  # Curves.EaseOut(Sigmoid)
+        weight = (1.0 - ease_out) * self.center_weight + 1.0
+        # weighted percentile trim via one ascending 2-operand sort
+        ll = log_lum.reshape(-1)
+        ww = jnp.broadcast_to(weight, log_lum.shape).reshape(-1)
+        ll_s, ww_s = jax.lax.sort((ll, ww), num_keys=1)
+        cum = jnp.cumsum(ww_s)
+        total = cum[-1]
+        lo = self.percent_lower * total
+        hi = (1.0 - self.percent_upper) * total
+        # mass of each sample inside [lo, hi] (partial bins clip linearly,
+        # matching the histogram's split-to-adjacent-bins behavior)
+        kept = jnp.minimum(cum, hi) - jnp.maximum(cum - ww_s, lo)
+        kept = jnp.maximum(kept, 0.0)
+        avg_log = jnp.sum(kept * ll_s) / jnp.maximum(jnp.sum(kept), 1e-20)
+        average = jnp.exp2(avg_log)
+        scale = jnp.clip(
+            self.average_luminance / jnp.maximum(average, 1e-8), *self.clamp
+        )
         layers[self.layer] = img * scale
         return layers
 
@@ -194,20 +228,25 @@ class ToneMapper:
 
 @dataclasses.dataclass
 class Vignette:
-    """Radial darkening with a touch of deterministic film grain
-    (reference Vignette.cs: FarWeight roll-off + random brightness)."""
+    """Radial darkening: multiplier = 1 - Sigmoid(dist * sqrt2) * intensity
+    where dist is the uv distance from the image center and Sigmoid is the
+    reference's clamped smoothstep (Vignette.cs:38, Curves.Sigmoid) — the
+    corner distance maps to exactly 1. Optional deterministic film grain
+    stays available as an extension (off by default, reference has none)."""
 
     layer: str = "main"
     intensity: float = 0.25
-    grain: float = 0.006
+    grain: float = 0.0
 
     def apply(self, layers):
         img = layers[self.layer]
         h, w = img.shape[0], img.shape[1]
-        y = (jnp.arange(h, dtype=jnp.float32) / h - 0.5) * 2.0
-        x = (jnp.arange(w, dtype=jnp.float32) / w - 0.5) * 2.0
-        r2 = x[None, :] ** 2 + y[:, None] ** 2
-        falloff = 1.0 - self.intensity * r2 * r2
+        y = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h - 0.5
+        x = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w - 0.5
+        dist = jnp.sqrt(x[None, :] ** 2 + y[:, None] ** 2) * jnp.sqrt(2.0)
+        s = jnp.clip(dist, 0.0, 1.0)
+        sig = 3.0 * s * s - 2.0 * s * s * s  # Curves.Sigmoid smoothstep
+        falloff = 1.0 - sig * self.intensity
         if self.grain > 0.0:
             from ..utils.rng import hash_u32, u32_to_uniform
 

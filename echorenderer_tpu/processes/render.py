@@ -54,7 +54,10 @@ class EvaluationProfile:
     max_epoch: int = 20
     noise_threshold: float = 0.045
     samples_per_epoch: int = 16
-    bounce_limit: int = 16
+    # reference parity: PathTracedEvaluator.cs:33 BounceLimit = 128 —
+    # Russian roulette (survivability) terminates paths long before this;
+    # the limit only guards pathological transport (glass labyrinths)
+    bounce_limit: int = 128
     survivability: float = 2.5
     # per-pixel adaptive sampling (reference EvaluationOperation.cs:111-137):
     # after min_epoch full-frame epochs, only pixels whose own Welford noise

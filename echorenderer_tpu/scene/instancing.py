@@ -283,23 +283,26 @@ def prepare_scene_instanced(
     point_rows, dir_rows = [], []
     ambient_all = np.zeros(3, np.float32)
     ambient_camera = np.zeros(3, np.float32)
-    env_rotation = np.eye(3, dtype=np.float32)
     env_maps: list = []
-    env_index = -1
-    env_mean_lum = 0.0
+    env_rotations: list = []
+    env_scales: list = []
+    env_cameras: list = []
+    env_powers: list = []
 
     def add_ambient(ent, rot):
-        nonlocal ambient_all, ambient_camera, env_rotation, env_index, env_mean_lum
+        """Textured ambients become standalone records later (one per env
+        map, scene/prepare.py multi-env layout); constants aggregate."""
+        nonlocal ambient_all, ambient_camera
         if ent.texture is not None:
-            if env_index >= 0:
-                raise ValueError("only one textured AmbientLight supported per scene")
-            env_index = len(env_maps)
             prepared = ent.texture.prepare()
             env_maps.append(prepared)
-            env_rotation = rot.T
-            env_mean_lum += (
+            env_rotations.append(rot.T)
+            env_scales.append(np.asarray(ent.intensity, np.float32))
+            env_cameras.append(1.0 if ent.directly_visible else 0.0)
+            power = 4.0 * np.pi * (
                 float(prepared.mean_luminance()) * float(_LUM @ ent.intensity) * 3.0
             )
+            env_powers.append(max(power, 1e-6))
         else:
             ambient_all += ent.intensity
             if ent.directly_visible:
@@ -324,12 +327,17 @@ def prepare_scene_instanced(
         for ent, rot in col.ambient_lights:
             add_ambient(ent, (R @ rot).astype(np.float32) if i else rot)
 
-    has_env = env_index >= 0 or float(ambient_all.sum()) > 0.0
-    if has_env:
+    for e, p_e in enumerate(env_powers):
         kinds.append(LIGHT_AMBIENT)
-        indices.append(0)
-        amb_power = float(4.0 * np.pi * (_LUM @ ambient_all)) + 4.0 * np.pi * env_mean_lum
-        powers.append(max(amb_power, 1e-6))
+        indices.append(e)
+        powers.append(p_e)
+    amb_const_power = np.zeros(0, np.float32)
+    if float(ambient_all.sum()) > 0.0:
+        kinds.append(LIGHT_AMBIENT)
+        indices.append(len(env_maps))
+        p_c = max(float(4.0 * np.pi * (_LUM @ ambient_all)), 1e-6)
+        powers.append(p_c)
+        amb_const_power = np.asarray([p_c], np.float32)
 
     # --- emissive census per instance (world-space records) ---
     # profile = (block, remap row): instances sharing both share the
@@ -473,8 +481,17 @@ def prepare_scene_instanced(
         prim_light=jnp.asarray(prim_light),
         ambient_all=jnp.asarray(ambient_all),
         ambient_camera=jnp.asarray(ambient_camera),
-        env_rotation=jnp.asarray(env_rotation),
-        env_index=jnp.asarray(env_index, jnp.int32),
+        env_rotation=jnp.asarray(
+            np.stack(env_rotations, 0) if env_rotations
+            else np.zeros((0, 3, 3), np.float32)
+        ),
+        env_scale=jnp.asarray(
+            np.stack(env_scales, 0) if env_scales
+            else np.zeros((0, 3), np.float32)
+        ),
+        env_camera=jnp.asarray(np.asarray(env_cameras, np.float32)),
+        env_power=jnp.asarray(np.asarray(env_powers, np.float32)),
+        amb_const_power=jnp.asarray(amb_const_power),
         tree=tree,
         tree_records=jnp.asarray(tree_records),
         record_tree=jnp.asarray(record_tree),

@@ -101,8 +101,16 @@ class LightTable(NamedTuple):
     prim_light: jax.Array  # (P,) int32 prim -> light record or -1
     ambient_all: jax.Array  # (3,) constant env radiance (indirect rays)
     ambient_camera: jax.Array  # (3,) env radiance visible to camera rays
-    env_rotation: jax.Array  # (3, 3) world->env-local rotation
-    env_index: jax.Array  # () int32: directional texture id or -1
+    # per textured ambient light e (record index e < E): rotation,
+    # intensity scale, camera visibility and selection power. The constant
+    # aggregate (ambient_all) owns record index E when present —
+    # amb_const_power has shape (1,) then, (0,) otherwise (shape is the
+    # STATIC presence flag usable under jit).
+    env_rotation: jax.Array  # (E, 3, 3) world->env-local rotations
+    env_scale: jax.Array  # (E, 3) per-env intensity scale
+    env_camera: jax.Array  # (E,) 1.0 where directly visible to camera
+    env_power: jax.Array  # (E,) selection power (mixture pdf weights)
+    amb_const_power: jax.Array  # (0|1,) power of the constant record
     tree: object  # FlatLightTree over finite lights, or None (few lights)
     tree_records: jax.Array  # (F,) int32 tree light id -> light record
     record_tree: jax.Array  # (L,) int32 light record -> tree light id or -1
@@ -537,31 +545,43 @@ def prepare_scene(
         indices.append(i)
         powers.append(max(float(np.pi * _LUM @ inten), 1e-6))
 
+    # Each textured AmbientLight becomes its OWN light record (index = env
+    # map id) with its own rotation/intensity/visibility; constant ambient
+    # lights aggregate into one record at index E (reference: every
+    # InfiniteLight is prepared independently, InfiniteLight.cs:18).
     ambient_all = np.zeros(3, np.float32)
     ambient_camera = np.zeros(3, np.float32)
-    env_rotation = np.eye(3, dtype=np.float32)
     env_maps: list = []
-    env_index = -1
-    env_mean_lum = 0.0
+    env_rotations: list = []
+    env_scales: list = []
+    env_cameras: list = []
+    env_powers: list = []
     for ent, rot in ambient_lights:
         if ent.texture is not None:
-            if env_index >= 0:
-                raise ValueError("only one textured AmbientLight supported per scene")
-            env_index = len(env_maps)
+            e = len(env_maps)
             prepared = ent.texture.prepare()
             env_maps.append(prepared)
-            env_rotation = rot.T  # world -> env local
-            env_mean_lum += float(prepared.mean_luminance()) * float(_LUM @ ent.intensity) * 3.0
+            env_rotations.append(rot.T)  # world -> env local
+            env_scales.append(np.asarray(ent.intensity, np.float32))
+            env_cameras.append(1.0 if ent.directly_visible else 0.0)
+            power = 4.0 * np.pi * (
+                float(prepared.mean_luminance()) * float(_LUM @ ent.intensity) * 3.0
+            )
+            env_powers.append(max(power, 1e-6))
+            kinds.append(LIGHT_AMBIENT)
+            indices.append(e)
+            powers.append(max(power, 1e-6))
         else:
             ambient_all += ent.intensity
             if ent.directly_visible:
                 ambient_camera += ent.intensity
-    has_env = env_index >= 0 or float(ambient_all.sum()) > 0.0
-    if has_env:
+    amb_const_power = np.zeros(0, np.float32)
+    if float(ambient_all.sum()) > 0.0:
         kinds.append(LIGHT_AMBIENT)
-        indices.append(0)
-        amb_power = float(4.0 * np.pi * (_LUM @ ambient_all)) + 4.0 * np.pi * env_mean_lum
-        powers.append(max(amb_power, 1e-6))
+        indices.append(len(env_maps))  # index E = the constant record
+        p_c = max(float(4.0 * np.pi * (_LUM @ ambient_all)), 1e-6)
+        powers.append(p_c)
+        amb_const_power = np.asarray([p_c], np.float32)
 
     # emissive geometry census (LightCollection.cs:23 analogue), vectorized
     # over the material-id arrays (a python per-prim loop costs minutes on
@@ -675,8 +695,17 @@ def prepare_scene(
         prim_light=jnp.asarray(prim_light),
         ambient_all=jnp.asarray(ambient_all),
         ambient_camera=jnp.asarray(ambient_camera),
-        env_rotation=jnp.asarray(env_rotation),
-        env_index=jnp.asarray(env_index, jnp.int32),
+        env_rotation=jnp.asarray(
+            np.stack(env_rotations, 0) if env_rotations
+            else np.zeros((0, 3, 3), np.float32)
+        ),
+        env_scale=jnp.asarray(
+            np.stack(env_scales, 0) if env_scales
+            else np.zeros((0, 3), np.float32)
+        ),
+        env_camera=jnp.asarray(np.asarray(env_cameras, np.float32)),
+        env_power=jnp.asarray(np.asarray(env_powers, np.float32)),
+        amb_const_power=jnp.asarray(amb_const_power),
         tree=tree,
         tree_records=jnp.asarray(tree_records),
         record_tree=jnp.asarray(record_tree),

@@ -20,13 +20,13 @@ class TestOperators:
 
     def test_auto_exposure_hits_target(self):
         layers = {"main": _img(value=0.02)}
-        out = comp.AutoExposure(target=0.18).apply(layers)
+        out = comp.AutoExposure(average_luminance=0.18).apply(layers)
         lum = np.asarray(out["main"]).mean()
         np.testing.assert_allclose(lum, 0.18, rtol=0.05)
 
     def test_auto_exposure_clamps(self):
         layers = {"main": _img(value=1e-5)}
-        out = comp.AutoExposure(target=0.18, clamp=(0.5, 4.0)).apply(layers)
+        out = comp.AutoExposure(average_luminance=0.18, clamp=(0.5, 4.0)).apply(layers)
         assert np.asarray(out["main"]).max() <= 1e-5 * 4.0 + 1e-9
 
     def test_bloom_only_brightens(self):
