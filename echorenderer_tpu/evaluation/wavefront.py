@@ -187,7 +187,7 @@ def sample_frame_wavefront(
     def cond(st):
         return jnp.any(~st["lane_done"])
 
-    def body(st):
+    def body(st, coherent=False):
         if sort_waves:
             st = _permute(st)
         live = ~st["lane_done"]
@@ -199,6 +199,7 @@ def sample_frame_wavefront(
             scene, stream, st, live,
             bounce_limit=bounce_limit, survivability=survivability,
             enable_nee=enable_nee, enable_fwd_mis=enable_fwd_mis,
+            coherent=coherent,
         )
         radiance = out["radiance"]
         new_tp = out["new_tp"]
@@ -265,6 +266,17 @@ def sample_frame_wavefront(
     # end. Same pattern as the binned traversal's straggler cascade.
     def live_count(st):
         return jnp.sum((~st["lane_done"]).astype(jnp.int32))
+
+    # iteration 0 is peeled out of the loop: every lane is at (relative
+    # sample 0, depth 0) — the full tile-major camera wave — so its trace
+    # and NEE-shadow wave take the coherent packet-walk dispatch
+    # (scene_ops.trace/occlude coherent=True). Later iterations mix
+    # respawned camera rays with bounce rays and stay on the binned path.
+    # The lockstep integrator peels the SAME (sample 0, bounce 0)
+    # population (integrators.path_trace first_wave_coherent), keeping
+    # per-sample sums bitwise-identical across integrators.
+    if count >= 1:
+        state = body(state, coherent=True)
 
     widths = []
     if not sort_waves and n >= WAVE_CASCADE_MIN:

@@ -104,6 +104,9 @@ ORD_CAP = 32
 # body bakes the first value into the jit cache — ADVICE r3 #1)
 _ENV_SORTPOP = bool(__import__("os").environ.get("ECHO_BT_SORTPOP"))
 _ENV_PACK10 = bool(__import__("os").environ.get("ECHO_BT_PACK10"))
+# ECHO_BT_FUSED=0 restores the all-XLA round driver (A/B oracle for the
+# fused Pallas select kernel, the r5 per-round-overhead fix)
+_ENV_FUSED = __import__("os").environ.get("ECHO_BT_FUSED", "1") != "0"
 
 
 # ---------------------------------------------------------------------------
@@ -392,6 +395,156 @@ def _run_rows(tbl, cols, prim_chunks, has_tri, has_sph, keyed,
 
 
 # ---------------------------------------------------------------------------
+# Fused select kernel: purge + extract + merge + pop in ONE VMEM pass
+# ---------------------------------------------------------------------------
+
+
+def _select_kernel(cand_ref, nk_ref, bt_ref, dr_ref, cand_out, pop_out,
+                   live_out, mink_out, *, w, k, cbits):
+    """Per-round candidate-buffer maintenance for one 1024-ray block.
+    The r4 XLA driver spent ~21 ms/round at 1M rays streaming the (n, W)
+    buffer through ~20 separate fusions (purge read, live-count reduce,
+    k-1 extract passes, merge, k pop passes, pend read); here the block
+    lives in VMEM once and every pass is a W-long loop of (8, 128) tile
+    ops (~2 ms/round measured in isolation).
+
+    cand_ref/cand_out (1, w, 8, 128) i32, aliased: slot-major candidate
+    keys, rays on the VPU tile. nk_ref (w-k+1, 1, 8, 128): this round's
+    refill keys (slab-tested upstream against the same best_t). bt_ref
+    (1, 8, 128) f32 best_t; dr_ref (1, 8, 128) i32 the refill flag
+    (computed LAST round — see round_fused for why that is conservative).
+    pop_out (k, 1, 8, 128): the k nearest keys, ascending, _INT_INF
+    padded. live_out/mink_out (1, 8, 128) i32: post-pop live count and
+    minimum remaining key (the driver recomputes refill/pend from these
+    under the post-merge best_t, keeping termination exact)."""
+    tmask = jnp.int32(-(1 << cbits))
+    # purge in int key space: enc() clamps t at 0, and non-negative f32
+    # bit patterns order like the floats, so
+    # dec_t(key) < best_t  <=>  (key & tmask) < bitcast(best_t)
+    best_bits = jax.lax.bitcast_convert_type(bt_ref[0], jnp.int32)
+    refill = dr_ref[0] != 0
+    inf_tile = jnp.full_like(best_bits, _INT_INF)
+
+    # the buffer passes are fori_loops over the slot dim (cand_out doubles
+    # as working scratch — it aliases cand_ref, so the purge pass reads
+    # each slot exactly once before overwriting it); unrolling was
+    # measured fine for the full phase (w=67, k=4) but the tail shape
+    # (w=287, k=32) would trace ~40k ops
+    def purge(j, _):
+        v = cand_ref[0, j]
+        cand_out[0, j] = jnp.where((v & tmask) < best_bits, v, _INT_INF)
+        return 0
+
+    jax.lax.fori_loop(0, w, purge, 0)
+
+    def minscan():
+        return jax.lax.fori_loop(
+            0, w, lambda j, mn: jnp.minimum(mn, cand_out[0, j]), inf_tile
+        )
+
+    def remove(mn, gate):
+        def body(j, _):
+            v = cand_out[0, j]
+            cand_out[0, j] = jnp.where(gate & (v == mn), _INT_INF, v)
+            return 0
+
+        jax.lax.fori_loop(0, w, body, 0)
+
+    # extract the k-1 smallest live entries (a refilling ray holds < k of
+    # them — the stale-refill invariant — so this captures ALL of them;
+    # equality masking is safe because live keys are unique, see the
+    # refill() invariant comment). Removal is gated on `refill`: rays that
+    # keep their buffer must not lose entries (their ext values go unused).
+    ext = []
+    for _ in range(k - 1):
+        mn = minscan()
+        ext.append(mn)
+        remove(mn, refill)
+    # merge: refilling rays replace their buffer with [ext | new keys]
+    for j in range(k - 1):
+        cand_out[0, j] = jnp.where(refill, ext[j], cand_out[0, j])
+
+    def merge_nk(j, _):
+        cand_out[0, j] = jnp.where(
+            refill, nk_ref[j - (k - 1), 0], cand_out[0, j]
+        )
+        return 0
+
+    jax.lax.fori_loop(k - 1, w, merge_nk, 0)
+    # pop the k nearest (ascending by construction)
+    all_lanes = jnp.full_like(refill, True)
+    for i in range(k):
+        mn = minscan()
+        pop_out[i, 0] = mn
+        remove(mn, all_lanes)
+    live, mink = jax.lax.fori_loop(
+        0, w,
+        lambda j, lm: (
+            lm[0] + (cand_out[0, j] != _INT_INF).astype(jnp.int32),
+            jnp.minimum(lm[1], cand_out[0, j]),
+        ),
+        (jnp.zeros_like(best_bits), inf_tile),
+    )
+    live_out[0] = live
+    mink_out[0] = mink
+
+
+def _run_select(cand, nk_t, best_t, do_refill, k, cbits):
+    """cand (G, w, 8, 128) i32 (returned updated, aliased); nk_t
+    (w-k+1, n) i32 slot-major refill keys; best_t (n,) f32; do_refill
+    (n,) bool. Returns (cand', pop (k, n), live (n,) i32, mink (n,) i32)."""
+    g, w = cand.shape[0], cand.shape[1]
+    n = g * 1024
+    rk = nk_t.shape[0]
+    assert rk + k - 1 == w, (rk, k, w)
+    nk4 = nk_t.reshape(rk, g, 8, 128)
+    bt4 = best_t.reshape(g, 8, 128)
+    dr4 = do_refill.astype(jnp.int32).reshape(g, 8, 128)
+    kernel = functools.partial(_select_kernel, w=w, k=k, cbits=cbits)
+    ray = lambda: pl.BlockSpec(
+        (1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, w, 8, 128), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (rk, 1, 8, 128), lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            ray(),
+            ray(),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, w, 8, 128), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k, 1, 8, 128), lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            ray(),
+            ray(),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, w, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((k, g, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((g, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((g, 8, 128), jnp.int32),
+        ],
+        input_output_aliases={0: 0},
+        interpret=_interpret(),
+    )(cand, nk4, bt4, dr4)
+    new_cand, pop, live, mink = out
+    return new_cand, pop.reshape(k, n), live.reshape(n), mink.reshape(n)
+
+
+# ---------------------------------------------------------------------------
 # Fused setup kernel: super slab test + per-ray rank sort
 # ---------------------------------------------------------------------------
 
@@ -671,6 +824,12 @@ def _pack_and_intersect(sel_c, o, d, best_t, ign_f, prim_chunks,
                     best_t, ign_f]
         if inst is not None:
             rec_rows.append(inst["ign_inst"].astype(jnp.float32))
+        # the row gather is TPU-gather-element-rate bound (~21 ms at 4.2M
+        # pairs x 8 f32). Measured alternatives (benchmarks/
+        # gather_variants.py): 8 column takes 415 ms, complex64 packing
+        # 49 ms, a flat-array slice gather lowers SERIALLY (~20 s), and a
+        # row-major layout constraint on the table changes nothing — the
+        # (m, 8) take IS the fastest known form.
         rec = jnp.stack(rec_rows, axis=1)  # (n, 8|9) per-ray record rows
         ray_id = q_s % n  # pairs are k-major; padding maps to SOME ray
         g = jnp.take(rec, ray_id, axis=0)  # (m_pad, 8|9) row gather
@@ -693,12 +852,19 @@ def _pack_and_intersect(sel_c, o, d, best_t, ign_f, prim_chunks,
     sfirst = seg_id[::ROW]
     scount = seg_id[ROW - 1 :: ROW] - sfirst + 1
     s_max = n_chunks + 2  # distinct keys <= chunks + invalid sentinel
-    # segment -> chunk table via a tiny 2-operand sort (flagged entries
-    # first, ordered by segment id) — scatter was ~3x the cost
-    sc = jax.lax.sort(
-        (jnp.where(flag, seg_id, jnp.int32(2**30)), key_s), num_keys=1
+    # segment -> chunk table: seg_id is sorted ascending, so segment s's
+    # first pair sits at searchsorted(seg_id, s) — a binary search (~22
+    # tiny gathers) replaces the full-width 2-operand sort that used to
+    # build this table (~8 ms/round at 4.2M pairs, r5 xprof). Absent
+    # segments (s > last) return m_pad; the position clamp keeps the
+    # key gather in range and the sentinel clamp keeps the chunk id in
+    # range — such segments have no live lanes (tmax is masked to 0).
+    first_pos = jnp.searchsorted(
+        seg_id, jnp.arange(s_max, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    seg_g = jnp.minimum(
+        key_s[jnp.minimum(first_pos, m_pad - 1)], n_chunks - 1
     )
-    seg_g = jnp.minimum(sc[1][:s_max], n_chunks - 1)  # clamp sentinel
     if inst is not None:
         # global virtual chunk -> (local pack chunk for DMA, instance for
         # the affine); small s_max-sized gathers
@@ -1036,6 +1202,108 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         next_sup = jnp.where(do_refill, ext[ksup][0], st["next_sup"])
         return new_keys, new_cursor, next_sup
 
+    def refill_T(st, o_, d_, do_refill, ksup, sup_ord_):
+        """Transposed refill: identical semantics to `refill`, but the new
+        candidate keys come out SLOT-MAJOR as (ksup*SUP, n) — the fused
+        select kernel's natural layout — with the one-hot bounds gather
+        computed as (6*SUP, S) x (S, n) so no (n, X) -> (X, n) transpose
+        ever materializes in HBM."""
+        cursor, best_t = st["cursor"], st["best_t"]
+        inv = _inv_dir(d_)
+        ext = extract_sups(sup_ord_, cursor, ksup + 1)
+        base_T = base_tbl.T  # constant-folded once per trace
+        keys = []
+        for j in range(ksup):
+            sup_key, ovf = ext[j]
+            sup_t = dec_t(sup_key, sbits)
+            sup_ok = do_refill & ~ovf & (sup_key != _INT_INF) & (sup_t < best_t)
+            sup_sel = jnp.where(sup_ok, sup_key & smask, 0)
+            glob = sup_sel[None, :] * SUP + iota_sup[:, None]  # (SUP, n)
+            oh = jnp.where(
+                sup_ok[None, :], iota_s[:, None] == sup_sel[None, :], False
+            ).astype(base_tbl.dtype)  # (S, n)
+            gT = jnp.dot(
+                base_T, oh,
+                preferred_element_type=jnp.float32,
+                precision=(
+                    jax.lax.Precision.HIGHEST
+                    if base_tbl.dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT
+                ),
+            )  # (6*SUP, n)
+            tn_c = tf_c = None
+            for a in range(3):
+                t0 = (gT[a * SUP : (a + 1) * SUP] - o_[:, a][None, :]) * inv[:, a][None, :]
+                t1 = (gT[(3 + a) * SUP : (4 + a) * SUP] - o_[:, a][None, :]) * inv[:, a][None, :]
+                tn_a = jnp.minimum(t0, t1)
+                tf_a = jnp.maximum(t0, t1)
+                tn_c = tn_a if tn_c is None else jnp.maximum(tn_c, tn_a)
+                tf_c = tf_a if tf_c is None else jnp.minimum(tf_c, tf_a)
+            ok = (
+                (tn_c <= tf_c) & (tf_c > 0.0) & (tn_c < best_t[None, :])
+                & sup_ok[None, :]
+            )
+            keys.append(enc(jnp.where(ok, tn_c, _INF), glob, cbits))
+        new_keys = jnp.concatenate(keys, axis=0)  # (ksup*SUP, n)
+        adv = jnp.where(do_refill, jnp.int32(ksup), 0)
+        new_cursor = cursor + adv
+        if sup_ord_.shape[1] < s_count:
+            new_cursor = jnp.minimum(new_cursor, sup_ord_.shape[1])
+        next_sup = jnp.where(do_refill, ext[ksup][0], st["next_sup"])
+        return new_keys, new_cursor, next_sup
+
+    def round_fused(st, o_, d_, ign_f_, ii_, m_pad_, k_, w_, ksup,
+                    sup_ord_):
+        """Fused-engine round (ECHO_BT_FUSED, the default): the refill
+        decision is the PREVIOUS round's — stale by one round, which is
+        conservative both ways: purges are monotone, so a flagged ray
+        still holds < k_ live entries at merge time (the extract
+        invariant), and a ray that newly drops below k_ mid-round just
+        pops what it has and refills next round. The staleness is what
+        lets purge+extract+merge+pop run as ONE Pallas VMEM pass
+        (_select_kernel) instead of ~20 XLA HBM passes. Termination stays
+        exact: pend/refill are recomputed here from the kernel's live
+        count and minimum remaining key under the POST-merge best_t."""
+        best_t = st["best_t"]
+        new_keys, cursor, next_sup = refill_T(
+            st, o_, d_, st["do_refill"], ksup, sup_ord_
+        )
+        new_cand, pop, live, mink = _run_select(
+            st["cand"], new_keys, best_t, st["do_refill"], k_, cbits
+        )
+        valid = pop != _INT_INF  # purged => every live key beats best_t
+        sel_c = jnp.where(valid, pop & cmask, -1)  # (k, n), already k-major
+
+        pk = _pack_and_intersect(
+            sel_c, o_, d_, best_t, ign_f_, pc_half,
+            c, has_tri, has_sph, m_pad_, keyed=True,
+            inst=None if not instanced else dict(
+                g2c=g2c, g2i=g2i, inst_f32=inst_f32, ign_inst=ii_),
+        )  # (k, n) i32
+        if occlude:
+            blocked = jnp.any(pk != _INT_INF, axis=0)
+            new_t = jnp.where(blocked, 0.0, best_t)
+            new_key, new_chunk = st["best_key"], st["best_chunk"]
+        else:
+            kmin = jnp.min(pk, axis=0)
+            cwin = jnp.min(
+                jnp.where(pk == kmin[None], sel_c, jnp.int32(2**30)), axis=0
+            )
+            better = kmin < st["best_key"]
+            new_key = jnp.where(better, kmin, st["best_key"])
+            new_chunk = jnp.where(better, cwin, st["best_chunk"])
+            new_t = jnp.minimum(
+                jnp.where(better, _key_ub(kmin), best_t), best_t
+            )
+        next_t = dec_t(next_sup, sbits)
+        dr = (live < k_) & (next_t < new_t)
+        pend = (dec_t(mink, cbits) < new_t) | (next_t < new_t)
+        return dict(
+            best_t=new_t, best_key=new_key, best_chunk=new_chunk,
+            cand=new_cand, cursor=cursor, next_sup=next_sup,
+            do_refill=dr, pend=pend, rounds=st["rounds"] + 1,
+        )
+
     def round_body(st, o_, d_, ign_f_, ii_, m_pad_, k_, w_, ksup,
                    sup_ord_):
         """One round: purge, refill-if-low, ONE row sort, pop k_, batch
@@ -1125,6 +1393,9 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         COMPACT_FRACTION if compact_fraction is None else compact_fraction
     )
     nc = min(n, max(1024, (-(-(n // compact_fraction) // 1024)) * 1024))
+    # fused Pallas select engine: needs 1024-multiple widths (the kernel's
+    # ray blocks); the SORTPOP A/B oracle exercises the XLA driver only
+    use_fused = _ENV_FUSED and (n % 1024 == 0) and not _ENV_SORTPOP
 
     # ---- setup: per-ray super order — the fused Pallas slab+rank kernel
     # when it applies (pow2 super pad <= 512, 1024-multiple rays), else
@@ -1150,11 +1421,19 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         best_t=best_t0,
         best_key=jnp.full((n,), _INT_INF, jnp.int32),
         best_chunk=jnp.full((n,), -1, jnp.int32),
-        cand=jnp.full((n, w_full), _INT_INF, jnp.int32),
         cursor=jnp.zeros((n,), jnp.int32),
         next_sup=sup_ord[:, 0],
         rounds=jnp.zeros((), jnp.int32),
     )
+    if use_fused:
+        pend0 = dec_t(sup_ord[:, 0], sbits) < best_t0
+        state.update(
+            cand=jnp.full((n // 1024, w_full, 8, 128), _INT_INF, jnp.int32),
+            do_refill=pend0, pend=pend0,
+        )
+    else:
+        state.update(cand=jnp.full((n, w_full), _INT_INF, jnp.int32))
+    rb = round_fused if use_fused else round_body
 
     m_pad_full = -(-(n * k) // 1024) * 1024
     if full_rounds is None:
@@ -1168,12 +1447,18 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         live = jnp.any(dec_t(st["cand"], cbits) < st["best_t"][:, None], axis=1)
         return live | (dec_t(st["next_sup"], sbits) < st["best_t"])
 
+    def pend_vec(st):
+        """Per-ray pending flag: carried directly by the fused engine
+        (recomputed each round under the post-merge best_t), derived from
+        the candidate buffer by the XLA engine."""
+        return st["pend"] if use_fused else pend_mask(st)
+
     def pending(st):
-        return jnp.any(pend_mask(st))
+        return jnp.any(pend_vec(st))
 
     st = jax.lax.while_loop(
         lambda st: (st["rounds"] < full_rounds) & pending(st),
-        lambda st: round_body(
+        lambda st: rb(
             st, o, d, ign_f, ii_f, m_pad_full, k, w_full, ksup, sup_ord
         ),
         state,
@@ -1182,7 +1467,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
     def _stop(stx):
         """Profiling-only early return (stop_after static knob): INCOMPLETE
         results — best-so-far t plus the live pending count in [1]."""
-        pendc = jnp.sum(pend_mask(stx).astype(jnp.float32))
+        pendc = jnp.sum(pend_vec(stx).astype(jnp.float32))
         z = jnp.zeros_like(stx["best_t"])
         return stx["best_t"], z + pendc, z, z
 
@@ -1221,7 +1506,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         m_pad_c = -(-(width * ks) // 1024) * 1024
         iota_w = jnp.arange(width, dtype=jnp.int32)
 
-        pend = pend_mask(stf) & ~stf["retired"]
+        pend = pend_vec(stf) & ~stf["retired"]
         cnt = jnp.cumsum(pend.astype(jnp.int32))
         total = cnt[-1]
         pos = jnp.where(pend & (cnt <= width), cnt - 1, width)
@@ -1245,22 +1530,31 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             best_t=best_s,
             best_key=stf["best_key"][idxs],
             best_chunk=stf["best_chunk"][idxs],
-            cand=jnp.full((width, w_sub), _INT_INF, jnp.int32),
             cursor=jnp.zeros((width,), jnp.int32),
             next_sup=sup_ord_s[:, 0],
             rounds=jnp.zeros((), jnp.int32),
         )
+        if use_fused:
+            pend0s = dec_t(sup_ord_s[:, 0], sbits) < best_s
+            sub.update(
+                cand=jnp.full(
+                    (width // 1024, w_sub, 8, 128), _INT_INF, jnp.int32
+                ),
+                do_refill=pend0s, pend=pend0s,
+            )
+        else:
+            sub.update(cand=jnp.full((width, w_sub), _INT_INF, jnp.int32))
         cap = max_rounds if bounded is None else bounded
         done = jax.lax.while_loop(
-            lambda s: (s["rounds"] < cap) & jnp.any(pend_mask(s)),
-            lambda s: round_body(
+            lambda s: (s["rounds"] < cap) & jnp.any(pend_vec(s)),
+            lambda s: rb(
                 s, o_s, d_s, ign_s, ii_s, m_pad_c, ks, w_sub, ksup_t,
                 sup_ord_s
             ),
             sub,
         )
 
-        finished = live & ~pend_mask(done)
+        finished = live & ~pend_vec(done)
         tgt = jnp.where(live, idxs, n)  # sentinel rows dropped
         out = dict(stf)
         for f in ("best_t", "best_key", "best_chunk"):
@@ -1277,7 +1571,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             # cond: a fully-coherent wave (camera rays) retires in the
             # full rounds — skip the mid stage's fixed cost outright
             st = jax.lax.cond(
-                jnp.any(pend_mask(st) & ~st["retired"]),
+                jnp.any(pend_vec(st) & ~st["retired"]),
                 lambda s: compact_phase(
                     s, mid_w, MID_K, MID_KSUP, bounded=MID_ROUNDS
                 ),
@@ -1289,7 +1583,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
             final_w = nc
         if stop_after == "mid":
             pendc = jnp.sum(
-                (pend_mask(st) & ~st["retired"]).astype(jnp.float32)
+                (pend_vec(st) & ~st["retired"]).astype(jnp.float32)
             )
             z = jnp.zeros_like(st["best_t"])
             return st["best_t"], z + pendc, z, z
@@ -1304,7 +1598,7 @@ def _trace_binned_impl(o, d, t_max, ign_sorted, cb, prim_chunks,
         outer_cap = (n // final_w + 2) * 4
         st = jax.lax.while_loop(
             lambda s: (s["outer"] < outer_cap)
-            & jnp.any(pend_mask(s) & ~s["retired"]),
+            & jnp.any(pend_vec(s) & ~s["retired"]),
             outer,
             {**st, "outer": jnp.zeros((), jnp.int32)},
         )

@@ -180,7 +180,7 @@ def _sample_frame(scene: PreparedScene, evaluator: str, resolution, seed, sample
 
     fn = EVALUATORS[evaluator]
 
-    def one_sample(i, carry):
+    def one_sample(i, carry, first=False):
         s_sum, s_sq = carry
         stream = SampleStream(
             pixel_id=pixel_id,
@@ -191,7 +191,8 @@ def _sample_frame(scene: PreparedScene, evaluator: str, resolution, seed, sample
         lens = stream.next_2d(1)
         o, d = spawn_rays(scene.camera, pixel_xy, shift, lens, resolution)
         if evaluator == "path_lockstep":
-            value = fn(scene, stream, o, d, bounce_limit=bounce_limit, survivability=survivability)
+            value = fn(scene, stream, o, d, bounce_limit=bounce_limit, survivability=survivability,
+                       first_wave_coherent=first)
         elif evaluator == "naive":
             value = fn(scene, stream, o, d, bounce_limit=bounce_limit)
         else:
@@ -200,7 +201,14 @@ def _sample_frame(scene: PreparedScene, evaluator: str, resolution, seed, sample
         return s_sum + value, s_sq + value * value
 
     init = (jnp.zeros((n, channels)), jnp.zeros((n, channels)))
-    return jax.lax.fori_loop(0, count, one_sample, init)
+    start_i = 0
+    if evaluator == "path_lockstep" and count >= 1:
+        # relative sample 0 is peeled so its camera bounce can take the
+        # coherent packet-walk dispatch — mirrors the wavefront's
+        # iteration-0 peel exactly (bitwise-equal per-sample sums)
+        init = one_sample(0, init, first=True)
+        start_i = 1
+    return jax.lax.fori_loop(start_i, count, one_sample, init)
 
 
 _sample_frame_jit = jax.jit(

@@ -47,7 +47,7 @@ class TestPackInstance:
         scene.add(PackInstance(pack, position=(-1.5, 0, 0)))
         scene.add(PackInstance(pack, position=(1.5, 0, 0), scale=0.5))
         scene.add(PerspectiveCamera(position=(0, 0, -5)))
-        prepared = prepare_scene(scene)
+        prepared = prepare_scene(scene, instancing="tlas")
         assert prepared.instances is not None
         assert prepared.instances.num_instances == 3  # root + 2 placements
         assert prepared.geometry.num_spheres == 2  # 2 spheres, ONE copy
@@ -80,7 +80,7 @@ class TestPackInstance:
                 ),
             ),
         )
-        img_tlas = render(prepare_scene(scene), prof)["main"]
+        img_tlas = render(prepare_scene(scene, instancing="tlas"), prof)["main"]
         img_bake = render(prepare_scene(scene, instancing="bake"), prof)["main"]
         # same estimator, same draws; only the accelerator differs — images
         # agree to float tolerance (intersection orders differ slightly)
@@ -97,7 +97,7 @@ class TestPackInstance:
         cam = PerspectiveCamera(field_of_view=60, position=(0, 0, -4))
         cam.look_at((0, 0, 0))
         scene.add(cam)
-        prepared = prepare_scene(scene)
+        prepared = prepare_scene(scene, instancing="tlas")
         prof = RenderProfile(
             resolution=(48, 32),
             evaluations=(EvaluationProfile(evaluator="albedo", layer_name="a"),),
@@ -127,7 +127,7 @@ class TestPackInstance:
         # dark ambient: the albedo AOV shows the env color on misses, which
         # must not trip the channel asserts below
         scene.add(AmbientLight(intensity=(0.01, 0.01, 0.01)))
-        prepared = prepare_scene(scene)
+        prepared = prepare_scene(scene, instancing="tlas")
         prof = RenderProfile(
             resolution=(48, 32),
             evaluations=(EvaluationProfile(evaluator="albedo", layer_name="a"),),
@@ -150,7 +150,7 @@ class TestPackInstance:
         scene.add(PackInstance(pack, position=(-2, 1, 0)))
         scene.add(PackInstance(pack, position=(2, 1, 0)))
         scene.add(PerspectiveCamera(position=(0, 0, -5)))
-        prepared = prepare_scene(scene)
+        prepared = prepare_scene(scene, instancing="tlas")
         assert int(prepared.lights.emissive_prim.shape[0]) == 2
 
     def test_thousand_instances_o_pack_memory(self):
@@ -169,7 +169,7 @@ class TestPackInstance:
             )
         scene.add(AmbientLight(intensity=(1, 1, 1)))
         scene.add(PerspectiveCamera(position=(0, 0, -120)))
-        prepared = prepare_scene(scene)
+        prepared = prepare_scene(scene, instancing="tlas")
         # geometry stays pack-sized (plus the degenerate root triangle)
         assert prepared.geometry.num_spheres == 2
         assert prepared.geometry.num_triangles == 1
@@ -191,7 +191,7 @@ class TestPackInstance:
         scene.add(PackInstance(outer, position=(3, 0, 0), scale=0.8))
         scene.add(AmbientLight(intensity=(1, 1, 1)))
         scene.add(PerspectiveCamera(position=(0, 0, -8)))
-        prepared = prepare_scene(scene)
+        prepared = prepare_scene(scene, instancing="tlas")
         # instances: root + inner(direct) + outer x2 + inner(nested) x2
         assert prepared.instances.num_instances == 6
         # storage: inner pack (2 spheres) + outer shell (1 sphere), 1 copy
@@ -203,3 +203,34 @@ class TestPackInstance:
         img = render(prepared, prof)["a"]
         baked = render(prepare_scene(scene, instancing="bake"), prof)["a"]
         assert float(np.mean(np.abs(img - baked))) < 0.02
+
+
+class TestAutoBake:
+    def test_small_auto_scene_bakes_for_megakernel(self):
+        """auto mode bakes a small TLAS scene (unrolled prims fit the
+        fused megakernel's limit) so it rides the 14x fused path; tlas
+        mode still shares (VERDICT r4 item #5)."""
+        scene = Scene()
+        pack = _pack()
+        scene.add(PackInstance(pack, position=(-1.5, 0, 0)))
+        scene.add(PackInstance(pack, position=(1.5, 0, 0), scale=0.5))
+        scene.add(PerspectiveCamera(position=(0, 0, -5)))
+        auto = prepare_scene(scene)
+        assert auto.instances is None  # baked
+        assert auto.geometry.num_spheres == 4  # duplicated copies
+        forced = prepare_scene(scene, instancing="tlas")
+        assert forced.instances is not None
+
+    def test_large_auto_scene_stays_tlas(self):
+        """auto keeps the O(pack) TLAS once the unrolled count exceeds the
+        megakernel limit (the thousand-instance test's regime)."""
+        pack = EntityPack()
+        for i in range(40):
+            pack.add(SphereEntity(radius=0.1, position=(i * 0.3, 0, 0)))
+        scene = Scene()
+        for i in range(60):  # 2400 unrolled prims > 2048
+            scene.add(PackInstance(pack, position=(0, 0, i * 0.5)))
+        scene.add(PerspectiveCamera(position=(0, 0, -5)))
+        prepared = prepare_scene(scene)
+        assert prepared.instances is not None
+        assert prepared.geometry.num_spheres == 40

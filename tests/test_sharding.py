@@ -93,3 +93,27 @@ class TestAdaptiveSharded:
         )
         np.testing.assert_array_equal(np.asarray(a8)[:m], np.asarray(s1)[:m])
         np.testing.assert_array_equal(np.asarray(q8)[:m], np.asarray(sq1)[:m])
+
+
+class TestMultihost:
+    """DCN scaffolding (parallel/multihost.py) in its degenerate 1-process
+    CI mode: initialize() must no-op, the global mesh must equal the local
+    one, and the multihost frame must be bit-identical to the single-host
+    sharded frame (process-count invariance follows from the same
+    (seed, pixel, sample, dim) draw hashing that gives chip-count
+    invariance)."""
+
+    def test_degenerate_initialize_and_frame(self, prepared):
+        from echorenderer_tpu.parallel import multihost
+        from echorenderer_tpu.parallel.sharding import render_frame_sharded
+
+        assert multihost.initialize() is False  # no coordinator: no-op
+        mesh = multihost.make_global_mesh()
+        assert mesh.devices.size == len(jax.devices())
+        pidx, pcount, local = multihost.process_shard_info(mesh)
+        assert (pidx, pcount) == (0, 1) and local == len(jax.devices())
+        img_mh = multihost.render_frame_multihost(
+            mesh, prepared, (16, 12), spp=2, seed=3, bounce_limit=3)
+        img_sh = render_frame_sharded(
+            make_mesh(), prepared, (16, 12), spp=2, seed=3, bounce_limit=3)
+        np.testing.assert_array_equal(img_mh, img_sh)
