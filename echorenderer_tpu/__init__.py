@@ -20,3 +20,13 @@ Architecture (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+# Host-allocator warmup: this VM faults private-anon pages at ~40-60
+# MB/s, so scene prep is page-fault bound without it. Start the arena
+# pre-touch now, in a daemon thread, so it overlaps jax import/backend
+# init instead of the first prepare_scene (utils/hostmem.py for the
+# full story). ECHO_HOST_ARENA_MB=0 disables the touch.
+from .utils.hostmem import warm_host_allocator_async as _warm
+
+_warm()
+del _warm

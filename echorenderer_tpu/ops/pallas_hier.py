@@ -127,22 +127,27 @@ def _tree_depth(child_code: np.ndarray, root: int) -> int:
     return depth
 
 
-@functools.partial(jax.jit, static_argnames=("pad", "n_chunks"))
 def _pack_chunk_rows(a, b, c, is_sph, *, pad, n_chunks):
-    """One fused device program for the (C, 16, HCHUNK) chunk tensor —
-    the eager .at[].set chain cost one full-tensor materialization plus a
-    tunnel dispatch PER op (profiled r4)."""
+    """Host assembly of the (C, 16, HCHUNK) chunk tensor + ONE upload.
+
+    History (keep): r3 moved this on-device (host first-touch was ~10-25
+    MB/s and the eager .at[].set chain dispatched per-op); r5 fixed the
+    allocator (utils/hostmem.warm_host_allocator) and measured that even
+    a persistent-cache HIT costs ~5-7 s of per-process executable load
+    through the remote tunnel for this program (benchmarks/prep_fine.py)
+    — far more than the ~0.3 s the 65 MB host assembly now takes."""
     p = a.shape[0]
-    fill = jnp.zeros((16, pad), jnp.float32)
+    rows = np.zeros((16, pad), np.float32)
     # padded v0 far away, e1=e2=0 -> det=0 -> invalid
-    fill = fill.at[0:3, :].set(1e30)
-    rows = (
-        fill.at[0:3, :p].set(a.T)
-        .at[3:6, :p].set(b.T)
-        .at[6:9, :p].set(c.T)
-        .at[9, :p].set(is_sph)
+    rows[0:3, p:] = 1e30
+    rows[0:3, :p] = a.T
+    rows[3:6, :p] = b.T
+    rows[6:9, :p] = c.T
+    rows[9, :p] = is_sph
+    chunks = np.ascontiguousarray(
+        rows.reshape(16, n_chunks, HCHUNK).transpose(1, 0, 2)
     )
-    return rows.reshape(16, n_chunks, HCHUNK).transpose(1, 0, 2)
+    return jnp.asarray(chunks)
 
 
 def _pack_chunks(geom: FlatGeometry, order: np.ndarray, packed=None):

@@ -14,7 +14,6 @@ Aggregation/Preparation/PreparedPack.cs, PreparedScene.cs, LightCollection.cs):
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -316,33 +315,35 @@ def build_material_arrays(materials):
     return mtypes, malbedo, mparams, mextra, mone, mtex, mntex, mnint, mrtex, tex_atlas
 
 
-@functools.partial(jax.jit, static_argnames=("num_prims", "num_tris"))
 def _assemble_shade(tri_rows, sph_rows, *, num_prims, num_tris):
-    """One fused device program for the (P, 24) shade_pack layout."""
-    shade = jnp.zeros((num_prims, 24), jnp.float32)
+    """Host assembly of the (P, 24) shade_pack layout + ONE upload.
+
+    History (keep): r3 moved this on-device because host first-touch ran
+    at ~10-25 MB/s; r5 fixed the allocator instead (utils/hostmem.py),
+    and the device program's FIRST-USE cost per process (~2.7 s even on a
+    persistent-cache hit — executable load through the remote tunnel,
+    benchmarks/prep_fine.py) dwarfed the ~0.1 s it saved. Host slice
+    writes at warm-arena speed + a single ~600 MB/s h2d transfer win."""
+    shade = np.zeros((num_prims, 24), np.float32)
     if num_tris:
         gn, n0, n1, n2, uv0, uv1, uv2, tmat, area = tri_rows
-        shade = (
-            shade.at[:num_tris, 0:3].set(gn)
-            .at[:num_tris, 3:6].set(n0)
-            .at[:num_tris, 6:9].set(n1)
-            .at[:num_tris, 9:12].set(n2)
-            .at[:num_tris, 12:14].set(uv0)
-            .at[:num_tris, 14:16].set(uv1)
-            .at[:num_tris, 16:18].set(uv2)
-            .at[:num_tris, 18].set(tmat)
-            .at[:num_tris, 19].set(area)
-        )
+        shade[:num_tris, 0:3] = gn
+        shade[:num_tris, 3:6] = n0
+        shade[:num_tris, 6:9] = n1
+        shade[:num_tris, 9:12] = n2
+        shade[:num_tris, 12:14] = uv0
+        shade[:num_tris, 14:16] = uv1
+        shade[:num_tris, 16:18] = uv2
+        shade[:num_tris, 18] = tmat
+        shade[:num_tris, 19] = area
     if num_prims > num_tris:
         c, r, m = sph_rows
-        shade = (
-            shade.at[num_tris:, 0:3].set(c)
-            .at[num_tris:, 3].set(r)
-            .at[num_tris:, 18].set(m)
-            .at[num_tris:, 19].set(4.0 * np.pi * r * r)
-            .at[num_tris:, 20].set(1.0)
-        )
-    return shade
+        shade[num_tris:, 0:3] = c
+        shade[num_tris:, 3] = r
+        shade[num_tris:, 18] = m
+        shade[num_tris:, 19] = 4.0 * np.pi * r * r
+        shade[num_tris:, 20] = 1.0
+    return jnp.asarray(shade)
 
 
 def assemble_triangles(tri_v, tri_f, tri_n, tri_uv, tri_m):
@@ -514,6 +515,9 @@ def prepare_scene(
     instancing: str = "auto",
     subdivide: float | None = None,
 ) -> PreparedScene:
+    from ..utils.hostmem import warm_host_allocator
+
+    warm_host_allocator()  # idempotent; prep is host-page-fault bound
     shared = _shared_packs(scene, instancing)
     if shared:
         from .instancing import prepare_scene_instanced

@@ -222,7 +222,9 @@ def test_pack_instance_swatch_syntax(tmp_path, method):
     from echorenderer_tpu.scene.prepare import prepare_scene
 
     scene = EchoSource(str(f)).construct_first(Scene)
-    prepared = prepare_scene(scene)
+    # force TLAS: auto now bakes scenes this small (megakernel fast path);
+    # this test pins the DSL's shared-pack + swatch plumbing specifically
+    prepared = prepare_scene(scene, instancing="tlas")
     # one shared sphere, three instances (root + 2 placements)
     assert prepared.instances is not None
     assert prepared.geometry.num_spheres == 1
